@@ -1,0 +1,323 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
+  *
+  * Conventions keeping the driver's hash-compare stable:
+  *  - every computed column is aliased identically to the Spark side;
+  *  - doubles are round(x, 6) in BOTH engines (summation-order last-ulp
+  *    differences vanish at 6 dp);
+  *  - counts/sums cast to BIGINT (DuckDB sum(int) is HUGEINT otherwise);
+  *  - identical arithmetic formulas, so comparisons (payoff >, thresholds)
+  *    see bit-identical doubles on both sides.
+  *
+  * The graph under test is the supplier co-occurrence graph derived from
+  * lineitem: vertices = suppliers, two suppliers linked iff they supply a
+  * shared part (same shape as the repo/path co-occurrence mandated by
+  * BASELINE.json, with (l_suppkey, l_partkey) standing in for (repo, path)).
+  */
+object Oracles {
+
+  /** Shared CTE prologue: co-occurrence edges + symmetrized view + vertices
+    * + hub-fanout cap (mirrors EdgeExtraction.cooccurrence maxPathFanout). */
+  val graphCtes: String = """
+    sp AS (SELECT DISTINCT l_suppkey AS id, l_partkey AS pk FROM lineitem),
+    keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 1000),
+    spk AS (SELECT sp.id, sp.pk FROM sp JOIN keep USING (pk)),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst, CAST(count(*) AS DOUBLE) AS weight
+      FROM spk a JOIN spk b ON a.pk = b.pk AND a.id < b.id
+      GROUP BY a.id, b.id),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    verts AS (SELECT DISTINCT src AS id FROM sym),
+    m0 AS (SELECT id, id % 3 AS community FROM verts)"""
+
+  val edges: String =
+    s"WITH $graphCtes SELECT src, dst, weight FROM edges"
+
+  val degrees: String =
+    s"WITH $graphCtes SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY src"
+
+  val density: String = s"""WITH $graphCtes
+    SELECT CAST((SELECT count(*) FROM verts) AS BIGINT) AS v,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS e,
+           round(2.0 * (SELECT count(*) FROM edges) /
+             ((SELECT count(*) FROM verts) * ((SELECT count(*) FROM verts) - 1.0)), 6) AS density"""
+
+  /** friends per (node, candidate community), own community always present
+    * (union with a zero row) — mirrors Hedonic.gather. */
+  val gather: String = s"""WITH $graphCtes
+    SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
+      SELECT s.src AS id, m.community, 1 AS friends FROM sym s JOIN m0 m ON s.dst = m.id
+      UNION ALL
+      SELECT id, community, 0 AS friends FROM m0
+    ) GROUP BY id, community"""
+
+  /** alpha = graph density (scalar subquery, same rational as Spark). */
+  private val alphaCte = """
+    alpha AS (SELECT 2.0 * (SELECT count(*) FROM edges) /
+      ((SELECT count(*) FROM verts) * ((SELECT count(*) FROM verts) - 1.0)) AS a)"""
+
+  private val payoffCtes = s"""$graphCtes, $alphaCte,
+    cand AS (
+      SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
+        SELECT s.src AS id, m.community, 1 AS friends FROM sym s JOIN m0 m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0 AS friends FROM m0
+      ) GROUP BY id, community),
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM m0 GROUP BY community),
+    pay AS (
+      SELECT c.id, c.community, c.friends,
+             CAST(s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END) AS BIGINT) AS strangers,
+             (c.community = m.community) AS iscur,
+             c.friends * (1.0 - (SELECT a FROM alpha)) -
+               (s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END)) * (SELECT a FROM alpha) AS payoff
+      FROM cand c JOIN sizes s ON c.community = s.community JOIN m0 m ON c.id = m.id)"""
+
+  val payoff: String = s"""WITH $payoffCtes
+    SELECT id, community, friends, strangers, round(payoff, 6) AS payoff FROM pay"""
+
+  /** One synchronous hedonic move step (argmax with canonical tie-break:
+    * payoff desc, current community wins ties, then smallest label; move
+    * only on strict improvement) — mirrors Hedonic.step with gate=true. */
+  val move1: String = s"""WITH $payoffCtes,
+    ranked AS (
+      SELECT id, community, payoff, iscur,
+             row_number() OVER (PARTITION BY id
+               ORDER BY payoff DESC, iscur DESC, community ASC) AS rn,
+             max(CASE WHEN iscur THEN payoff END) OVER (PARTITION BY id) AS curp,
+             max(CASE WHEN iscur THEN community END) OVER (PARTITION BY id) AS curc
+      FROM pay)
+    SELECT id,
+           CAST(CASE WHEN payoff > curp THEN community ELSE curc END AS BIGINT) AS community
+    FROM ranked WHERE rn = 1"""
+
+  /** n fixed PageRank iterations (damping .85, no dangling: the symmetrized
+    * edge-derived graph has min degree 1). Chained CTEs, one per iteration. */
+  def pagerank(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      s"""r$i AS (
+        SELECT v.id,
+               (0.15 / (SELECT count(*) FROM verts)) + 0.85 * coalesce(s.c, 0.0) AS rank
+        FROM verts v LEFT JOIN (
+          SELECT e.dst AS id, sum(r.rank / d.degree) AS c
+          FROM sym e
+          JOIN r${i - 1} r ON e.src = r.id
+          JOIN deg d ON e.src = d.id
+          GROUP BY e.dst) s ON v.id = s.id)"""
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+      deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY src),
+      r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS rank FROM verts),
+      $iters
+      SELECT id, round(rank, 6) AS rank FROM r$n"""
+  }
+
+  /** Connected components: comp = min reachable vertex id, via recursive
+    * min-label closure. */
+  val cc: String = s"""WITH RECURSIVE $graphCtes,
+    r(n, l) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT s.dst, r.l FROM r JOIN sym s ON r.n = s.src WHERE r.l < s.dst
+    )
+    SELECT n AS id, CAST(min(l) AS BIGINT) AS comp FROM r GROUP BY n"""
+
+  val triangles: String = s"""WITH $graphCtes
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+  /** One synchronous LPA step from labels id%3: adopt the majority neighbor
+    * label, ties to the smallest label — mirrors LabelPropagation.step. */
+  val lpa1: String = s"""WITH $graphCtes,
+    l0 AS (SELECT id, id % 3 AS label FROM verts),
+    cnts AS (
+      SELECT s.src AS id, l.label AS nbrlabel, count(*) AS cnt
+      FROM sym s JOIN l0 l ON s.dst = l.id GROUP BY s.src, l.label),
+    best AS (
+      SELECT id, nbrlabel,
+             row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nbrlabel ASC) AS rn
+      FROM cnts)
+    SELECT l0.id, CAST(coalesce(b.nbrlabel, l0.label) AS BIGINT) AS label
+    FROM l0 LEFT JOIN (SELECT id, nbrlabel FROM best WHERE rn = 1) b ON l0.id = b.id"""
+
+  /** Adjusted Rand Index between partition id%3 and the supplier's nation —
+    * full closed form over the contingency table. */
+  val ari: String = s"""WITH $graphCtes,
+    p1 AS (SELECT id, id % 3 AS c1 FROM verts),
+    p2 AS (SELECT s_suppkey AS id, s_nationkey AS c2 FROM supplier),
+    ct AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS n
+           FROM p1 JOIN p2 USING (id) GROUP BY c1, c2),
+    terms AS (
+      SELECT
+        (SELECT sum(n * (n - 1) / 2.0) FROM ct) AS sumij,
+        (SELECT sum(a * (a - 1) / 2.0) FROM (SELECT sum(n) AS a FROM ct GROUP BY c1)) AS suma,
+        (SELECT sum(b * (b - 1) / 2.0) FROM (SELECT sum(n) AS b FROM ct GROUP BY c2)) AS sumb,
+        (SELECT sum(n) FROM ct) AS total)
+    SELECT round(
+      CASE WHEN (suma + sumb) / 2.0 = suma * sumb / (total * (total - 1) / 2.0) THEN 1.0
+           ELSE (sumij - suma * sumb / (total * (total - 1) / 2.0)) /
+                ((suma + sumb) / 2.0 - suma * sumb / (total * (total - 1) / 2.0))
+      END, 6) AS ari
+    FROM terms"""
+
+  /** Satisfaction classes per node (A10): own community vs max-friends /
+    * min-strangers sets — mirrors Metrics.satisfaction. */
+  val satisfaction: String = s"""WITH $graphCtes,
+    cand AS (
+      SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
+        SELECT s.src AS id, m.community, 1 AS friends FROM sym s JOIN m0 m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0 AS friends FROM m0
+      ) GROUP BY id, community),
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM m0 GROUP BY community),
+    pay AS (
+      SELECT c.id, c.community, c.friends,
+             s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END) AS strangers,
+             (c.community = m.community) AS iscur
+      FROM cand c JOIN sizes s ON c.community = s.community JOIN m0 m ON c.id = m.id),
+    agg AS (
+      SELECT id, max(friends) AS maxf, min(strangers) AS mins,
+             max(CASE WHEN iscur THEN friends END) AS curf,
+             max(CASE WHEN iscur THEN strangers END) AS curs
+      FROM pay GROUP BY id)
+    SELECT id,
+           CASE WHEN curf = maxf AND curs = mins THEN 'always_satisfied'
+                WHEN curf <> maxf AND curs <> mins THEN 'never_satisfied'
+                ELSE 'relatively_satisfied' END AS cls
+    FROM agg"""
+
+  // ------------------------------------------------- documents/embeddings
+
+  /** Per-row content sha256 — THE per-row invariant (BASELINE.json). */
+  val sha: String =
+    "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+  val dedupExact: String = """
+    SELECT sha256(text) AS content_sha,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY sha256(text)"""
+
+  /** Shared tokenizer, mirroring TextOps.tokens. */
+  private val toksCte = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+                         x -> x <> '') AS t
+      FROM documents)"""
+
+  private val stopwords =
+    "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','from']"
+
+  val textStats: String = s"""WITH $toksCte,
+    base AS (
+      SELECT d.doc_id, d.text, t.t,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t.t)) AS BIGINT) AS n_distinct_tokens
+      FROM documents d JOIN toks t USING (doc_id)),
+    stats AS (
+      SELECT doc_id, n_tokens, n_distinct_tokens,
+        CASE WHEN n_tokens > 0
+             THEN len(list_filter(t, x -> list_contains($stopwords, x))) * 1.0 / n_tokens
+             ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_tokens > 0
+             THEN list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / n_tokens
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_tokens > 0
+             THEN 1.0 - n_distinct_tokens * 1.0 / n_tokens
+             ELSE 0.0 END AS repetition_ratio
+      FROM base)
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(repetition_ratio, 6) AS repetition_ratio,
+           round(greatest(0.0, least(1.0,
+             0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (1.0 - repetition_ratio))), 6) AS quality_score
+    FROM stats"""
+
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "de" -> "['der','die','und','das','von','ist','den','mit','nicht','ein']",
+    "en" -> "['the','and','of','to','in','is','that','it','was','for']",
+    "es" -> "['el','la','de','que','y','en','los','del','las','por']",
+    "fr" -> "['le','la','de','et','les','des','est','une','dans','que']",
+    "pt" -> "['o','a','de','que','e','do','da','em','um','para']")
+
+  val langId: String = {
+    val scoreSelects = langMarkers.map { case (code, arr) =>
+      s"SELECT doc_id, '$code' AS code, len(list_filter(t, x -> list_contains($arr, x))) AS score FROM toks"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH $toksCte,
+    scores AS ($scoreSelects),
+    best AS (
+      SELECT doc_id, code, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) AS rn
+      FROM scores)
+    SELECT doc_id, CASE WHEN score > 0 THEN code ELSE 'und' END AS lang_guess
+    FROM best WHERE rn = 1"""
+  }
+
+  /** Word-trigram shingle CTE mirroring Dedup.shingles(n=3): distinct
+    * trigrams; docs with < 3 tokens contribute one whole-text shingle. */
+  private val shingleCte = s"""$toksCte,
+    tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+    sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+      UNION
+      SELECT doc_id, list_aggregate(t, 'string_agg', ' ') AS sh
+      FROM toks WHERE len(t) < 3)"""
+
+  /** Exact word-trigram Jaccard pairs >= 0.4 — mirrors Dedup.jaccardPairs. */
+  val jaccardPairs: String = s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT ida, idb, round(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes x ON ida = x.doc_id
+    JOIN sizes y ON idb = y.doc_id
+    WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.4"""
+
+  /** Exact cosine near-dup pairs >= 0.4 over embeddings (double math). */
+  val embedPairs: String = """
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
+
+  /** Brute-force top-3 cosine neighbors for query vectors vec_id < 5. */
+  val annTopK: String = """
+    WITH scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+      FROM scored)
+    SELECT qid, nid, round(cos, 6) AS cos, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3"""
+
+  /** 5-minute tumbling window over events (batch equivalent of the
+    * streaming path). */
+  val eventsWindow: String = """
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2"""
+}

@@ -1,0 +1,66 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.Edge
+import graft.graph.GraphOps
+
+/** Label propagation — north-rule addition N3. One synchronous step IS the
+  * reference's `community_onepass_improvement` (hedonic/__init__.py:266-280,
+  * operator M3/A18): each node adopts the majority label among its
+  * neighbors; iterated to convergence here.
+  *
+  * Tie-break: the reference's is Python-set iteration order (unspecified,
+  * hedonic/__init__.py:273); the engine canonicalizes to highest count, then
+  * SMALLEST label — deterministic (documented divergence, SURVEY.md §7.4.2).
+  *
+  * Oscillation: synchronous LPA two-colors bipartite-ish graphs. Standard
+  * fix applied: hash-parity gating — only nodes with xxhash64(id) parity ==
+  * superstep parity may change. Convergence = a superstep where no node
+  * (gated or not) would change.
+  */
+object LabelPropagation {
+
+  /** One synchronous step from `labels(id, label)`; returns new labels with
+    * a `wants` column (true when the majority label differs from current). */
+  def step(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrLabels = sym.join(
+      labels.select(col("id").as("dst"), col("label").as("nbrLabel")), Seq("dst"))
+    val counts = nbrLabels.groupBy(col("src").as("id"), col("nbrLabel"))
+      .agg(count(lit(1)).as("cnt"))
+    val best = counts.groupBy("id").agg(
+      max(struct(col("cnt"), (-col("nbrLabel")).as("neg"), col("nbrLabel").as("lab"))).as("b"))
+    labels.join(best, Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("b.lab"), col("label")).as("bestLabel"))
+      .withColumn("wants", col("bestLabel") =!= col("label"))
+  }
+
+  def run(edges: Dataset[Edge], initOpt: Option[DataFrame] = None,
+          maxIter: Int = 30, parityGating: Boolean = true): DataFrame = {
+    val sym = GraphOps.symmetrize(edges).select("src", "dst").persist()
+    sym.count()
+    var labels = initOpt
+      .map(_.select(col("id"), col("label")))
+      .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val stepped = step(sym, labels)
+      val gate =
+        if (parityGating) pmod(xxhash64(col("id")), lit(2)) === lit(iter % 2)
+        else lit(true)
+      val next = stepped
+        .select(col("id"),
+          when(col("wants") && gate, col("bestLabel")).otherwise(col("label")).as("label"),
+          col("wants"))
+        .localCheckpoint(true)
+      done = next.filter(col("wants")).limit(1).count() == 0
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

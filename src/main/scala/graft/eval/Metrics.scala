@@ -1,0 +1,97 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.Edge
+import graft.graph.GraphOps
+import graft.algo.Hedonic
+
+/** Scoring / analytics over partitions (SURVEY.md §2.4):
+  * ARI accuracy (A8, hedonic/__init__.py:114-118 — the reference's
+  * `accuracy` early-returns igraph's adjusted_rand), robustness (A9,
+  * hedonic/__init__.py:372-394), satisfaction classes (A10, :354-370),
+  * equilibrium fraction (A13, :451-456) and the resolution spectrum
+  * (:432-449) — all as pure DataFrame aggregations.
+  */
+object Metrics {
+
+  /** Contingency table of two partitions: (c1, c2, n) — join J5. */
+  def contingency(p1: DataFrame, p2: DataFrame): DataFrame =
+    p1.select(col("id"), col("community").as("c1"))
+      .join(p2.select(col("id"), col("community").as("c2")), Seq("id"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("n"))
+
+  /** Adjusted Rand Index, closed form over the contingency table. */
+  def adjustedRandIndex(p1: DataFrame, p2: DataFrame): Double = {
+    val ct = contingency(p1, p2).persist()
+    def c2(c: org.apache.spark.sql.Column) = c * (c - 1) / lit(2.0)
+    val sumIj = ct.agg(coalesce(sum(c2(col("n"))), lit(0.0))).collect()(0).getDouble(0)
+    val sumA = ct.groupBy("c1").agg(sum("n").as("a"))
+      .agg(coalesce(sum(c2(col("a"))), lit(0.0))).collect()(0).getDouble(0)
+    val sumB = ct.groupBy("c2").agg(sum("n").as("b"))
+      .agg(coalesce(sum(c2(col("b"))), lit(0.0))).collect()(0).getDouble(0)
+    val n = ct.agg(sum("n")).collect()(0).getLong(0).toDouble
+    ct.unpersist()
+    val totalPairs = n * (n - 1) / 2.0
+    if (totalPairs == 0) return 1.0
+    val expected = sumA * sumB / totalPairs
+    val maxIdx = (sumA + sumB) / 2.0
+    if (maxIdx == expected) 1.0 else (sumIj - expected) / (maxIdx - expected)
+  }
+
+  /** Per-node satisfaction classes (A10): a node is
+    *  - always_satisfied: own community has max friends AND min strangers,
+    *  - never_satisfied: own community in neither set,
+    *  - relatively_satisfied otherwise (alpha-dependent).
+    * Returns (id, class). */
+  def satisfaction(edges: Dataset[Edge], members: DataFrame): DataFrame = {
+    val sym = GraphOps.symmetrize(edges)
+    // alpha only scales payoffs; friends/strangers suffice. alpha=0 keeps
+    // the columns exact.
+    val p = Hedonic.payoffs(sym, members, 0.0)
+    p.groupBy("id").agg(
+      max("friends").as("maxF"),
+      min("strangers").as("minS"),
+      max(when(col("isCur"), col("friends"))).as("curF"),
+      max(when(col("isCur"), col("strangers"))).as("curS"))
+      .select(col("id"),
+        when(col("curF") === col("maxF") && col("curS") === col("minS"), "always_satisfied")
+          .when(col("curF") =!= col("maxF") && col("curS") =!= col("minS"), "never_satisfied")
+          .otherwise("relatively_satisfied").as("cls"))
+  }
+
+  /** Robustness (A9): fraction of nodes whose community is optimal at BOTH
+    * alpha=0 (max friends) and alpha=1 (min strangers). */
+  def robustness(edges: Dataset[Edge], members: DataFrame): Double = {
+    val row = satisfaction(edges, members)
+      .select(avg((col("cls") === "always_satisfied").cast("double")))
+      .collect()(0)
+    if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+  }
+
+  /** Fraction of nodes in equilibrium at each resolution in `alphas` —
+    * the resolution spectrum (hedonic/__init__.py:432-449). The alpha axis
+    * is DATA (explode), not plan replication; always/never-satisfied nodes
+    * are constant across alpha (work pruning, :439-446) but are kept in the
+    * aggregate for exactness. Equilibrium tolerance = numpy isclose
+    * (rtol 1e-5, atol 1e-8, hedonic/__init__.py:646). */
+  def resolutionSpectrum(edges: Dataset[Edge], members: DataFrame,
+                         alphas: Seq[Double]): DataFrame = {
+    val sym = GraphOps.symmetrize(edges)
+    val base = Hedonic.payoffs(sym, members, 0.0)
+      .select("id", "community", "friends", "strangers", "isCur")
+    val alphaDf = base.sparkSession.range(1)
+      .select(explode(array(alphas.map(lit): _*)).as("alpha"))
+    val withAlpha = base.crossJoin(broadcast(alphaDf))
+    withAlpha
+      .withColumn("payoff",
+        col("friends") * (lit(1.0) - col("alpha")) - col("strangers") * col("alpha"))
+      .groupBy("alpha", "id").agg(
+        max("payoff").as("maxP"),
+        max(when(col("isCur"), col("payoff"))).as("curP"))
+      .groupBy("alpha").agg(
+        avg((abs(col("curP") - col("maxP")) <=
+          lit(1e-8) + lit(1e-5) * abs(col("maxP"))).cast("double")).as("equilibrium_fraction"))
+      .orderBy("alpha")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.model.Edge
+
+/** Core graph primitives over the canonical edge table.
+  *
+  * Representation: undirected simple graph as `Dataset[Edge]` with
+  * `src < dst`, no self-loops, deduped (reference graphs are simple
+  * undirected, scripts/utils.py:98-102). Algorithms consume the
+  * symmetrized (both-directions) view so each gather is a single
+  * equi-join on the neighbor column.
+  */
+object GraphOps {
+
+  /** Canonicalize an arbitrary pair table: swap to src < dst, drop
+    * self-loops, merge duplicates (summing weight). */
+  def canonicalize(df: DataFrame): Dataset[Edge] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"),
+        coalesce(col("weight"), lit(1.0)).cast("double").as("weight"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+      .as[Edge]
+  }
+
+  /** Both-directions view: one row per (node, neighbor). Doubles the rows
+    * but makes every gather a single equi-join — the standard trade. */
+  def symmetrize(edges: Dataset[Edge]): DataFrame =
+    edges.toDF().unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")).toDF())
+
+  /** Distinct vertex ids present in the edge table. NB: isolated vertices
+    * never appear here (reference drops degree-0 vertices too,
+    * scripts/real_nets.py:131). */
+  def vertices(edges: Dataset[Edge]): DataFrame =
+    edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** Per-vertex degree (unweighted). */
+  def degrees(edges: Dataset[Edge]): DataFrame =
+    symmetrize(edges).groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+
+  /** Graph density 2E/(V(V-1)) — the reference's default resolution alpha
+    * (hedonic/__init__.py:78,215; scripts/experiment.py:76). Driver-side
+    * scalar; one job over the edge table. */
+  def density(edges: Dataset[Edge]): Double = {
+    val e = edges.count()
+    val v = vertices(edges).count()
+    if (v < 2) 0.0 else 2.0 * e / (v.toDouble * (v - 1))
+  }
+
+  /** CSR-packed adjacency: id -> sorted neighbor array (SURVEY.md §4.3.4).
+    * Denser shuffle payload for gathers on moderate-degree graphs. */
+  def adjacency(edges: Dataset[Edge]): DataFrame =
+    symmetrize(edges).groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+}

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, run
+  * over the `documents` table (doc_id, text, lang, source, n_chars).
+  * Everything is built-in Catalyst expressions — whole-stage codegen'd, no
+  * UDFs — so these run at scan speed at 100 TB.
+  */
+object TextOps {
+
+  /** Normalized whitespace token array: lowercase, non-alphanumerics to
+    * spaces, empty tokens dropped. The shared tokenizer for dedup /
+    * fingerprint / quality ops (keep one definition so oracles agree). */
+  def tokens(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count proxy: alphanumeric runs + punctuation marks each
+    * count as a token (a cheap, deterministic stand-in for a real BPE
+    * vocabulary — same shape, same pipeline position). */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(regexp_replace(text, "([^A-Za-z0-9])", " $1 "), " "), t => t =!= ""))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from")
+
+  /** Per-document quality statistics + a composite score in [0,1].
+    * Signals follow the usual pretraining-filter recipe (length, stopword
+    * ratio, punctuation density, mean word length, repetition). */
+  def qualityStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn("stopword_ratio",
+        when(nTok > 0,
+          size(filter(toks, tk => array_contains(stopArr, tk))).cast("double") / nTok)
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))).cast("double")
+            / length(t)).otherwise(0.0))
+      .withColumn("mean_word_len",
+        when(nTok > 0,
+          aggregate(toks, lit(0L), (acc, tk) => acc + length(tk)).cast("double") / nTok)
+          .otherwise(0.0))
+      .withColumn("repetition_ratio",
+        when(nTok > 0,
+          lit(1.0) - col("n_distinct_tokens").cast("double") / nTok).otherwise(0.0))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(0.25) * when(col("n_tokens").between(10, 10000), 1.0).otherwise(0.0)
+            + lit(0.25) * when(col("stopword_ratio").between(0.05, 0.6), 1.0).otherwise(0.0)
+            + lit(0.25) * when(col("punct_ratio") < 0.2, 1.0).otherwise(0.0)
+            + lit(0.25) * (lit(1.0) - col("repetition_ratio")))), 6))
+  }
+
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "une", "dans", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "ist", "den", "mit", "nicht", "ein"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"))
+
+  /** Heuristic language ID: score = number of language-marker tokens present;
+    * argmax with deterministic tie-break (language code ascending), "und"
+    * when nothing matches. N-gram/stopword-profile approach — pure columnar. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langProfiles.toSeq.sortBy(_._1).map { case (code, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(
+        size(filter(toks, tk => array_contains(arr, tk))).as("score"),
+        lit(code).as("code"))
+    }
+    // max over (score, code-desc?) -> want highest score, tie -> smallest
+    // code; encode as max of (score, negRank) then map back. Simpler: fold.
+    val best = scores.reduce { (a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a)
+    } // left-to-right fold over codes in ascending order keeps the first
+      // (smallest) code on ties.
+    when(best.getField("score") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Order-insensitive document fingerprint: sha256 of the sorted distinct
+    * token set. Identical token-set docs collide — the cheap canonical
+    * fingerprint for near-dup blocking (rolling-hash winnowing lives in
+    * Dedup.simhash). */
+  def fingerprint(text: Column): Column =
+    sha2(array_join(array_sort(array_distinct(tokens(text))), " "), 256)
+}
