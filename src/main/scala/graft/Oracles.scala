@@ -188,6 +188,80 @@ object Oracles {
                 ELSE 'relatively_satisfied' END AS cls
     FROM agg"""
 
+  /** Merge-gain table under m0 (Leiden.mergeGains): per touching community
+    * pair, between-edge count and gain = between - alpha*na*nb. */
+  val mergeGain: String = s"""WITH $graphCtes, $alphaCte,
+    lifted AS (
+      SELECT m1.community AS c1, m2.community AS c2
+      FROM edges e JOIN m0 m1 ON e.src = m1.id JOIN m0 m2 ON e.dst = m2.id),
+    meta AS (
+      SELECT least(c1, c2) AS ca, greatest(c1, c2) AS cb,
+             CAST(count(*) AS BIGINT) AS between
+      FROM lifted WHERE c1 <> c2 GROUP BY 1, 2),
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS n FROM m0 GROUP BY community)
+    SELECT ca, cb, between,
+           round(between - (SELECT a FROM alpha) * x.n * y.n, 6) AS gain
+    FROM meta JOIN sizes x ON ca = x.community JOIN sizes y ON cb = y.community"""
+
+  /** Robustness scalar = fraction always-satisfied (A9). */
+  val robustness: String = s"""WITH $graphCtes,
+    cand AS (
+      SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
+        SELECT s.src AS id, m.community, 1 AS friends FROM sym s JOIN m0 m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0 AS friends FROM m0
+      ) GROUP BY id, community),
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM m0 GROUP BY community),
+    pay AS (
+      SELECT c.id, c.friends,
+             s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END) AS strangers,
+             (c.community = m.community) AS iscur
+      FROM cand c JOIN sizes s ON c.community = s.community JOIN m0 m ON c.id = m.id),
+    agg AS (
+      SELECT id, max(friends) AS maxf, min(strangers) AS mins,
+             max(CASE WHEN iscur THEN friends END) AS curf,
+             max(CASE WHEN iscur THEN strangers END) AS curs
+      FROM pay GROUP BY id)
+    SELECT round(avg(CASE WHEN curf = maxf AND curs = mins THEN 1.0 ELSE 0.0 END), 6) AS robustness
+    FROM agg"""
+
+  /** Degree histogram (A16). */
+  val degreeHist: String = s"""WITH $graphCtes,
+    deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
+    SELECT CAST(degree AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY degree"""
+
+  /** Top-10 by 3-iteration PageRank; ordered on the ROUNDED rank + id so
+    * both engines cut the same set. */
+  val topkPagerank: String = {
+    val base = pagerank(3)
+    s"""WITH ranked AS ($base)
+    SELECT id, rank FROM ranked ORDER BY rank DESC, id ASC LIMIT 10"""
+  }
+
+  /** Mean ± 95% CI per group (A14). */
+  val statsCi: String = """
+    SELECT l_returnflag,
+           round(avg(l_quantity), 6) AS mean_qty,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           CAST(count(*) AS BIGINT) AS n,
+           round(1.96 * stddev_samp(l_quantity) / sqrt(count(*)), 6) AS ci95
+    FROM lineitem GROUP BY l_returnflag"""
+
+  /** Pivot heatmap (A15): avg quantity by returnflag x linestatus. */
+  val pivot: String = """
+    SELECT l_returnflag,
+           round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS F,
+           round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS O
+    FROM lineitem GROUP BY l_returnflag"""
+
+  /** Distinct counts (A17). */
+  val distinctCounts: String = """
+    SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem"""
+
   // ------------------------------------------------- documents/embeddings
 
   /** Per-row content sha256 — THE per-row invariant (BASELINE.json). */

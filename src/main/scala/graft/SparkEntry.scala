@@ -123,7 +123,81 @@ object SparkEntry {
       Metrics.satisfaction(e, m0(e))
     }),
 
+    "q_merge_gain" -> ((s, dir) => {
+      val e = graph(s, dir)
+      val alpha = GraphOps.density(e)
+      graft.algo.Leiden.mergeGains(e, m0(e), alpha)
+        .select(col("ca"), col("cb"), col("between"),
+          round(col("gain"), 6).as("gain"))
+    }),
+
+    "q_robustness" -> ((s, dir) => {
+      val e = graph(s, dir)
+      val rob = Metrics.robustness(e, m0(e))
+      s.range(1).select(round(lit(rob), 6).as("robustness"))
+    }),
+
+    "q_degree_hist" -> ((s, dir) =>
+      GraphOps.degrees(graph(s, dir))
+        .groupBy("degree").agg(count(lit(1)).as("n_vertices"))),
+
+    "q_topk_pagerank" -> ((s, dir) => {
+      val pr = PageRank.run(graph(s, dir), PageRank.Config(fixedIter = Some(3)))
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+      pr.orderBy(desc("rank"), asc("id")).limit(10)
+    }),
+
+    "q_stats_ci" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag").agg(
+        round(avg("l_quantity"), 6).as("mean_qty"),
+        round(stddev("l_quantity"), 6).as("sd_qty"),
+        count(lit(1)).as("n"),
+        round(lit(1.96) * stddev("l_quantity") / sqrt(count(lit(1))), 6).as("ci95"))),
+
+    "q_pivot" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(avg("l_quantity"), 6))),
+
+    "q_distinct" -> ((s, dir) =>
+      li(s, dir).agg(
+        countDistinct("l_suppkey").as("n_suppliers"),
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_orderkey").as("n_orders"))),
+
     // -------------------------------------- graph, iterative (rows-only)
+    "q_leiden_full" -> ((s, dir) => {
+      val e = graph(s, dir)
+      graft.algo.Leiden.run(e, m0(e), levels = 2,
+        hedonicCfg = Hedonic.Config(maxSupersteps = 30))
+    }),
+
+    "q_hedonic_frontier" -> ((s, dir) => {
+      val e = graph(s, dir)
+      val (m, _) = graft.algo.HedonicFrontier.run(e, m0(e),
+        Hedonic.Config(maxSupersteps = 60))
+      m
+    }),
+
+    "q_sbm_recover" -> ((s, dir) => {
+      // SBM planted-partition recovery: dir-independent determinism check.
+      val e = graft.ingest.GraphGen.sbm(s, 3, 20, 0.5, 0.02, 11L)
+      val gt = graft.ingest.GraphGen.groundTruth(s, 3, 20)
+      val init = graft.ingest.GraphGen.noisyPartition(gt, 3, 0.3, 12L)
+      val (m, _) = Hedonic.run(e, init, Hedonic.Config(maxSupersteps = 40))
+      m
+    }),
+
+    "q_media_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodeBatch(Multimodal.synthesize(s, 100)).toDF()
+        .select(col("media_id"), col("kind"), col("feature"))
+    }),
+
+    "q_frame_plan" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.frameSamplePlan(Multimodal.synthesize(s, 100).toDF(), 60000L)
+    }),
+
     "q_hedonic_full" -> ((s, dir) => {
       val e = graph(s, dir)
       val (members, _) = Hedonic.run(e, m0(e), Hedonic.Config(maxSupersteps = 60))
@@ -207,6 +281,13 @@ object SparkEntry {
     "q_lpa1" -> Oracles.lpa1,
     "q_ari" -> Oracles.ari,
     "q_satisfaction" -> Oracles.satisfaction,
+    "q_merge_gain" -> Oracles.mergeGain,
+    "q_robustness" -> Oracles.robustness,
+    "q_degree_hist" -> Oracles.degreeHist,
+    "q_topk_pagerank" -> Oracles.topkPagerank,
+    "q_stats_ci" -> Oracles.statsCi,
+    "q_pivot" -> Oracles.pivot,
+    "q_distinct" -> Oracles.distinctCounts,
     "q_sha" -> Oracles.sha,
     "q_dedup_exact" -> Oracles.dedupExact,
     "q_text_stats" -> Oracles.textStats,

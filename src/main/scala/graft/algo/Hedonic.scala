@@ -31,9 +31,13 @@ import graft.io.Checkpoint
   *
   * Oscillation control: hedonic games are potential games under unilateral
   * moves, but simultaneous moves can cycle. Each superstep only nodes with
-  * xxhash64(id) parity == superstep parity may move (deterministic
-  * two-coloring of time); convergence is declared when a full superstep finds
-  * ZERO nodes wanting to move (checked before gating, so it is gate-independent).
+  * xxhash64(id, superstep) % 2 == 0 may move — a DIFFERENT deterministic
+  * half each round, so any two nodes locked in a simultaneous-swap cycle are
+  * eventually separated and the survivor's move is unilateral = strictly
+  * potential-increasing (fixed id-parity classes were observed to oscillate
+  * forever on multi-label inits: the same adjacent pair stays co-gated every
+  * round). Convergence is declared when a full superstep finds ZERO nodes
+  * wanting to move (checked before gating, so it is gate-independent).
   */
 object Hedonic {
 
@@ -76,12 +80,18 @@ object Hedonic {
   }
 
   /** One synchronous superstep. Returns (newMembers, wantedToMove, moved).
-    * `gate` restricts which improving nodes actually move this round. */
+    * `gate` restricts which improving nodes actually move this round.
+    *
+    * `materialize` controls how the new state is pinned. Default: EAGER
+    * localCheckpoint — caches AND truncates lineage. Do not substitute a
+    * lazy variant: members is referenced 3x per superstep, so un-truncated
+    * plans grow ~3^k and Catalyst's plan handling OOMs (SURVEY.md §4.3.3). */
   def step(
       sym: DataFrame,
       members: DataFrame,
       alpha: Double,
-      gate: org.apache.spark.sql.Column): (DataFrame, Long, Long) = {
+      gate: org.apache.spark.sql.Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): (DataFrame, Long, Long) = {
     val p = payoffs(sym, members, alpha)
     // argmax with canonical tie-break: highest payoff, then current community,
     // then smallest label. struct max orders lexicographically.
@@ -98,17 +108,14 @@ object Hedonic {
       col("curComm"),
       (col("b.payoff") > col("curPayoff")).as("wants"),
       col("b.comm").as("bestComm"))
-    val applied = decided
+    val applied0 = decided
       .withColumn("doMove", col("wants") && gate)
       .select(
         col("id"),
         when(col("doMove"), col("bestComm")).otherwise(col("curComm")).as("community"),
         col("wants"),
         col("doMove"))
-      // Materialize + truncate lineage in one go: the counting action below
-      // and the next superstep both read this, and without truncation the
-      // logical plan grows linearly in supersteps (SURVEY.md §4.3.3).
-      .localCheckpoint(true)
+    val applied = materialize(applied0)
     val agg = applied.agg(
       sum(col("wants").cast("long")).as("w"),
       sum(col("doMove").cast("long")).as("m")).collect()(0)
@@ -161,8 +168,14 @@ object Hedonic {
     while (!converged && superstep < cfg.maxSupersteps) {
       val t0 = System.nanoTime()
       val gate =
-        if (cfg.parityGating) pmod(xxhash64(col("id")), lit(2)) === lit(superstep % 2)
+        if (cfg.parityGating) pmod(xxhash64(col("id"), lit(superstep)), lit(2)) === lit(0)
         else lit(true)
+      // Eager localCheckpoint EVERY superstep: `members` is referenced three
+      // times per round (gather + sizes + current-community join), so any
+      // lazy/deferred truncation lets the logical plan grow ~3^k between
+      // cuts — observed as an OOM in TreeNode.treeString. One extra tiny
+      // job per superstep is the right trade at every scale.
+      val cut = superstep % cfg.checkpointEvery == 0
       val (next, wanted, moved) = step(sym, members, a, gate)
       val pot = if (cfg.trackPotential) potential(edges, next, a) else Double.NaN
       val wallMs = (System.nanoTime() - t0) / 1000000
@@ -171,8 +184,8 @@ object Hedonic {
       val metricsJson =
         s"""{"moved":$moved,"wanted":$wanted,"potential":${if (pot.isNaN) "null" else pot},"wallMs":$wallMs}"""
       members = ckpt match {
-        case Some(c) => c.truncate(next, superstep, metricsJson)
-        case None    => next // already localCheckpoint'ed inside step()
+        case Some(c) if cut => c.truncate(next, superstep, metricsJson)
+        case _              => next
       }
       converged = wanted == 0L
       superstep += 1

@@ -49,7 +49,7 @@ object LabelPropagation {
     while (!done && iter < maxIter) {
       val stepped = step(sym, labels)
       val gate =
-        if (parityGating) pmod(xxhash64(col("id")), lit(2)) === lit(iter % 2)
+        if (parityGating) pmod(xxhash64(col("id"), lit(iter)), lit(2)) === lit(0)
         else lit(true)
       val next = stepped
         .select(col("id"),

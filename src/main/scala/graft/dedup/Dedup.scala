@@ -152,7 +152,7 @@ object Dedup {
         Seq("chunk", "key"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb", "sha", "shb").distinct()
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", hamming.cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
   }

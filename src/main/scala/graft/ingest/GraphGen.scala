@@ -1,0 +1,64 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Edge
+
+/** Synthetic graph + partition generators mirroring the reference's
+  * experiment inputs (SURVEY.md §2.1 S10-S12), fully deterministic:
+  * every random draw is a seeded-hash Bernoulli/choice (`xxhash64`), never
+  * `rand()`, so results are identical under any repartitioning — the
+  * property fixtures and resume tests rely on.
+  */
+object GraphGen {
+
+  /** Stochastic block model (reference scripts/utils.py:162-177):
+    * `nCommunities` blocks of `communitySize` vertices; edge (u,v) exists
+    * with prob pIn when same block else pOut = pIn * multiplier.
+    *
+    * The pair stream is generated blockwise from two `spark.range`s so only
+    * candidate pairs are materialized; at scale the Bernoulli filter runs
+    * before any wide column exists.
+    */
+  def sbm(spark: SparkSession, nCommunities: Int, communitySize: Int,
+          pIn: Double, pOut: Double, seed: Long): Dataset[Edge] = {
+    import spark.implicits._
+    val v = nCommunities.toLong * communitySize
+    val left = spark.range(v).select(col("id").as("src"),
+      (col("id") / communitySize).cast("long").as("bs"))
+    val right = spark.range(v).select(col("id").as("dst"),
+      (col("id") / communitySize).cast("long").as("bd"))
+    val m = 1000000L
+    val draw = pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(m))
+    val keep = when(col("bs") === col("bd"), draw < (pIn * m).toLong)
+      .otherwise(draw < (pOut * m).toLong)
+    left.crossJoin(right)
+      .filter(col("src") < col("dst"))
+      .filter(keep)
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+      .as[Edge]
+  }
+
+  /** Planted ground truth: community = id / communitySize (reference
+    * scripts/utils.py:179-184). */
+  def groundTruth(spark: SparkSession, nCommunities: Int, communitySize: Int): DataFrame =
+    spark.range(nCommunities.toLong * communitySize)
+      .select(col("id"), (col("id") / communitySize).cast("long").as("community"))
+
+  /** Noisy initial partition (reference shuffle_with_noise /
+    * get_initial_membership, scripts/utils.py:186-227): a hash-selected
+    * `noise` fraction of vertices is reassigned to a hash-random community;
+    * noise > 1 degenerates to the singleton partition — exactly the
+    * reference's convention. Deterministic divergence from the reference's
+    * in-place shuffle is documented in SURVEY.md §7.4.2. */
+  def noisyPartition(groundTruth: DataFrame, nCommunities: Int,
+                     noise: Double, seed: Long): DataFrame = {
+    if (noise > 1.0)
+      return groundTruth.select(col("id"), col("id").as("community"))
+    val m = 1000000L
+    val flip = pmod(xxhash64(col("id"), lit(seed)), lit(m)) < (noise * m).toLong
+    val randComm = pmod(xxhash64(col("id"), lit(seed + 1)), lit(nCommunities.toLong))
+    groundTruth.select(col("id"),
+      when(flip, randComm).otherwise(col("community")).cast("long").as("community"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode / feature /
+  * resize / frame-sample operators.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape, operator
+  * signatures — is real and tested. The codec step itself is a STUB: no
+  * image/audio libraries ship in this container, so `decodeStub` derives a
+  * deterministic fake feature vector from the bytes (content-hash based).
+  * Swapping in a real decoder means replacing ONLY the body of
+  * `decodeBatch` below (its batch-iterator signature is exactly what a
+  * JNI/FFI decoder wants: amortize per-partition init, stream rows).
+  */
+object Multimodal {
+
+  /** Typed media row: the engine's multimodal schema. */
+  case class MediaMeta(width: Int, height: Int, durationMs: Long,
+                       sampleRate: Int, codec: String)
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
+
+  /** Deterministic synthetic media table (for tests/bench): bytes are a
+    * seeded hash stream, metadata plausible per kind. */
+  def synthesize(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(kinds, (pmod(xxhash64(col("id"), lit(seed)), lit(3)) + 1).cast("int")).as("kind"),
+      // opaque payload: 64 deterministic bytes from the id
+      unhex(concat((0 until 8).map(i =>
+        lpad(hex(abs(xxhash64(col("id"), lit(seed + i)))), 16, "0")): _*)).as("bytes"),
+      struct(
+        (pmod(xxhash64(col("id"), lit(seed + 10)), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(xxhash64(col("id"), lit(seed + 11)), lit(1080)) + 1).cast("int").as("height"),
+        (pmod(xxhash64(col("id"), lit(seed + 12)), lit(600000)) + 1).as("durationMs"),
+        lit(16000).as("sampleRate"),
+        lit("stub").as("codec")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: deterministic 8-dim feature from a rolling hash of the
+    * payload. Replace this body with the real codec call; everything else
+    * (partition amortization, batch shape, schema) stays. */
+  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    var h = 1125899906842597L
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      out(i % 8) += (h % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Per-partition batched decode → feature extraction. mapPartitions so a
+    * real decoder initializes once per partition (the JNI/py-worker
+    * pattern); rows stream through without materializing the partition. */
+  def decodeBatch(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init hook for a real decoder would go here
+      rows.map(r => MediaFeature(r.media_id, r.kind, decodeStub(r.bytes)))
+    }
+  }
+
+  /** "Resize" metadata op: pure-column arithmetic on the typed meta struct
+    * (the real pixel resize happens inside the decode stage; the catalog
+    * metadata transform is columnar and codegen'd). */
+  def resizeMeta(df: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    df.withColumn("resized_width", floor(w * scale).cast("int"))
+      .withColumn("resized_height", floor(h * scale).cast("int"))
+  }
+
+  /** Frame-sample plan for videos: one row per sampled frame timestamp at
+    * `everyMs` — a `sequence` explode, no UDF; the frame EXTRACTION is part
+    * of the decode stub. Partitioned by media_id so one video's frames
+    * co-locate. */
+  def frameSamplePlan(df: DataFrame, everyMs: Long): DataFrame =
+    df.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("meta.durationMs"), lit(everyMs))).as("frame_ts_ms"))
+      .repartition(col("media_id"))
+}

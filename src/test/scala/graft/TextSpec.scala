@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenizer lowercases, strips punctuation, drops empties") {
+    val df = Seq((1L, "Hello, World!  foo-bar 42")).toDF("doc_id", "text")
+    val toks = df.select(TextOps.tokens(col("text"))).as[Seq[String]].head()
+    assert(toks == Seq("hello", "world", "foo", "bar", "42"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq((1L, "a,b c")).toDF("doc_id", "text")
+    val r = df.select(TextOps.tokenCount(col("text")),
+      TextOps.bpeishCount(col("text"))).head()
+    assert(r.getInt(0) == 3) // a b c
+    assert(r.getInt(1) == 4) // a , b c
+  }
+
+  test("quality stats on a hand-computed doc") {
+    val text = "the cat sat on the mat" // 6 tokens, 5 distinct
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.qualityStats(df).head()
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_distinct_tokens") == 5)
+    // stopwords: the, on, the -> 3/6
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("repetition_ratio") - (1 - 5.0 / 6)) < 1e-9)
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+    // mean word len: (3+3+3+2+3+3)/6
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 17.0 / 6) < 1e-9)
+  }
+
+  test("language ID picks the profile with most markers; und when none") {
+    val df = Seq(
+      (1L, "the cat and the dog was in that house for it"),
+      (2L, "el perro y la casa de los gatos en que vivo"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("fingerprint is order-insensitive over the token set") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta alpha"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextOps.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash; survivors keep min id") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length == 4)
+    val keep = Dedup.exactSurvivors(docs).select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles: distinct word 3-grams; short docs fall back to whole text") {
+    val sh = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("exact jaccard pairs: hand-computed threshold behavior") {
+    val pairs = Dedup.jaccardPairs(docs, 0.4).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // docs 1,2 identical -> jaccard 1.0
+    assert(pairs((1L, 2L)) == 1.0)
+    // docs 1,3 share 4 of 7+7 3-shingles: |A∩B|=4? compute: tokens differ at
+    // position 4 (jumps/leaps) -> shingles containing it differ (3 of 7).
+    // A∩B = 4, A∪B = 10 -> 0.4
+    assert(math.abs(pairs((1L, 3L)) - 0.4) < 1e-9)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash estimates jaccard within banding tolerance on dups") {
+    // High-similarity corpus: banding with r=4 rows catches pairs with
+    // jaccard ~0.8 w.p. ~1-(1-0.8^4)^16 ≈ 1; a 0.4-jaccard pair would be
+    // missed ~2/3 of the time (that's the LSH design point, not a bug).
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    val near = base.replace("tango", "zulu") // 3 of 18 trigrams differ
+    val docs2 = Seq((1L, base), (2L, base), (3L, near),
+      (4L, "completely different content about spark engines at scale"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs2, threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical docs hash identically
+    assert(pairs.contains((1L, 3L))) // near-dup lands in a shared band
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs distance 0; near-dups small; distinct docs not paired") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.0f, 0.0f)),  // identical to 0
+    (2L, Seq(0.8f, 0.6f, 0.0f)),  // cos with 0 = 0.8
+    (3L, Seq(0.0f, 0.0f, 1.0f))   // orthogonal to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: hand values (identical=1, orthogonal=0, 0.8 case)") {
+    val pairs = Similarity.cosinePairs(vecs, -1.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 3L)) == 0.0)
+    assert(math.abs(pairs((0L, 2L)) - 0.8) < 1e-9)
+  }
+
+  test("brute-force topK ranks by cosine with deterministic tie-break") {
+    val top = Similarity.topK(vecs, vecs.filter(col("vec_id") === 0L), 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("rk")))
+    assert(top.toSeq == Seq((0L, 1L, 1), (0L, 2L, 2)))
+  }
+
+  test("LSH pairs ⊆ exact pairs at the same threshold, and catches identicals") {
+    val exact = Similarity.cosinePairs(vecs, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshPairs(vecs, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 1L))) // identical vectors always share buckets
+  }
+}
