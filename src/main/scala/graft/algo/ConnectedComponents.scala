@@ -55,11 +55,11 @@ object ConnectedComponents {
   }
 
   def run(edges: Dataset[Edge], maxIter: Int = 50): DataFrame = {
-    var pairs = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var pairs = edges.select(col("src"), col("dst")).distinct().transform(graft.io.Iterate.pin)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val next = smallStar(largeStar(pairs)).localCheckpoint(true)
+      val next = smallStar(largeStar(pairs)).transform(graft.io.Iterate.pin)
       // Set-equality convergence: |A| == |B| == |A union B|.
       val nNext = next.count()
       val nPrev = pairs.count()
@@ -82,7 +82,7 @@ object ConnectedComponents {
     val sym = GraphOps.symmetrize(edges).select("src", "dst").persist()
     sym.count()
     var labels = GraphOps.vertices(edges).select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .transform(graft.io.Iterate.pin)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -92,7 +92,7 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           (coalesce(col("nmin"), col("comp")) < col("comp")).as("chg"))
-        .localCheckpoint(true)
+        .transform(graft.io.Iterate.pin)
       done = next.filter(col("chg")).limit(1).count() == 0
       labels = next.select("id", "comp")
       iter += 1

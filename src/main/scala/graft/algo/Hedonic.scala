@@ -82,16 +82,18 @@ object Hedonic {
   /** One synchronous superstep. Returns (newMembers, wantedToMove, moved).
     * `gate` restricts which improving nodes actually move this round.
     *
-    * `materialize` controls how the new state is pinned. Default: EAGER
-    * localCheckpoint — caches AND truncates lineage. Do not substitute a
-    * lazy variant: members is referenced 3x per superstep, so un-truncated
-    * plans grow ~3^k and Catalyst's plan handling OOMs (SURVEY.md §4.3.3). */
+    * `materialize` controls how the new state is pinned. Default:
+    * Iterate.pin — eager localCheckpoint (cache + RDD-lineage cut) PLUS a
+    * stats barrier. Do not substitute a lazy variant (plans grow ~3^k and
+    * OOM) or a bare localCheckpoint (origin-stats preservation makes
+    * sizeInBytes estimates grow ~3^k into million-digit BigInts that pin
+    * the driver — see graft.io.Iterate). */
   def step(
       sym: DataFrame,
       members: DataFrame,
       alpha: Double,
       gate: org.apache.spark.sql.Column,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): (DataFrame, Long, Long) = {
+      materialize: DataFrame => DataFrame = graft.io.Iterate.pin): (DataFrame, Long, Long) = {
     val p = payoffs(sym, members, alpha)
     // argmax with canonical tie-break: highest payoff, then current community,
     // then smallest label. struct max orders lexicographically.

@@ -34,8 +34,8 @@ object HedonicFrontier {
     val sym = GraphOps.symmetrize(edges).select("src", "dst").persist()
     val edgeCount = sym.count()
 
-    var members = init.select("id", "community").localCheckpoint(true)
-    var frontier = members.select("id").localCheckpoint(true) // all active at start
+    var members = init.select("id", "community").transform(graft.io.Iterate.pin)
+    var frontier = members.select("id").transform(graft.io.Iterate.pin) // all active at start
     var metrics = Vector.empty[RunMetrics]
     var superstep = 0
     var frontierSize = frontier.count()
@@ -73,7 +73,7 @@ object HedonicFrontier {
           max(when(col("isCur"), col("payoff"))).as("curPayoff"))
         .select(col("id"), col("b.comm").as("newComm"),
           (col("b.payoff") > col("curPayoff")).as("wants"), gate.as("gated"))
-        .localCheckpoint(true)
+        .transform(graft.io.Iterate.pin)
       val movers = decided.filter(col("wants") && col("gated"))
         .select(col("id"), col("newComm"))
       val nMoved = movers.count()
@@ -82,7 +82,7 @@ object HedonicFrontier {
 
       members = members.join(movers, Seq("id"), "left")
         .select(col("id"), coalesce(col("newComm"), col("community")).as("community"))
-        .localCheckpoint(true)
+        .transform(graft.io.Iterate.pin)
 
       // new frontier: movers' neighbors not in the mover's NEW community,
       // plus movers themselves (their own optimum may shift), plus gated
@@ -96,7 +96,7 @@ object HedonicFrontier {
         .unionByName(movers.select("id"))
         .unionByName(gatedWanters)
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.io.Iterate.pin)
       frontierSize = frontier.count()
       val wallMs = (System.nanoTime() - t0) / 1000000
       metrics :+= RunMetrics(superstep, nMoved, Double.NaN, frontierSize, edgeCount, wallMs)

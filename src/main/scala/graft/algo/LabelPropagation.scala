@@ -43,7 +43,7 @@ object LabelPropagation {
     var labels = initOpt
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
-      .localCheckpoint(true)
+      .transform(graft.io.Iterate.pin)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -55,7 +55,7 @@ object LabelPropagation {
         .select(col("id"),
           when(col("wants") && gate, col("bestLabel")).otherwise(col("label")).as("label"),
           col("wants"))
-        .localCheckpoint(true)
+        .transform(graft.io.Iterate.pin)
       done = next.filter(col("wants")).limit(1).count() == 0
       labels = next.select("id", "label")
       iter += 1

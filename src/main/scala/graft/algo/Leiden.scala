@@ -76,7 +76,7 @@ object Leiden {
     else {
       val next = members.join(mutual, Seq("community"), "left")
         .select(col("id"), coalesce(col("newComm"), col("community")).as("community"))
-        .localCheckpoint(true)
+        .transform(graft.io.Iterate.pin)
       (next, nMerges)
     }
   }

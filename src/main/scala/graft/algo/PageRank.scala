@@ -42,7 +42,7 @@ object PageRank {
     vdeg.count()
 
     var ranks = vdeg.select(col("id"), lit(1.0 / v).as("rank"), col("deg"))
-      .localCheckpoint(true)
+      .transform(graft.io.Iterate.pin)
     var iter = 0
     var done = false
     val nIter = cfg.fixedIter.getOrElse(cfg.maxIter)
@@ -59,7 +59,7 @@ object PageRank {
           (lit((1.0 - cfg.damping) / v) +
             lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / v))).as("rank"),
           col("deg"))
-        .localCheckpoint(true)
+        .transform(graft.io.Iterate.pin)
       if (cfg.fixedIter.isEmpty) {
         val delta = newRanks.join(ranks.select(col("id"), col("rank").as("old")), Seq("id"))
           .agg(sum(abs(col("rank") - col("old")))).collect()(0).getDouble(0)

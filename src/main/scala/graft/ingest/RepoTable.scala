@@ -51,8 +51,58 @@ object RepoTable {
       .otherwise(draw < pOutT)
 
     val cells = repos.crossJoin(paths).filter(keepCond)
+    decorate(cells, cfg)
+  }
 
-    // Wide (string) columns only after the Bernoulli filter.
+  /** Sparse generation for large scale. The dense path enumerates the full
+    * repos x paths cross product — O(R*P) candidate cells, untenable past
+    * ~1e9. Here each repo draws from (a) every path of its OWN block at
+    * p_in and (b) `foreignSample` hash-chosen foreign paths at a rate
+    * calibrated so the EFFECTIVE cross-block density equals cfg.pOut
+    * (drawP = pOut * nPaths / foreignSample). Generation is
+    * O(R * (pathsPerBlock + foreignSample)), planted structure and hub
+    * paths preserved, fully deterministic (seeded hashes).
+    */
+  def generateSparse(spark: SparkSession, cfg: Config, foreignSample: Int = 64): DataFrame = {
+    val nRepos = cfg.nBlocks.toLong * cfg.reposPerBlock
+    val nPaths = cfg.nBlocks.toLong * cfg.pathsPerBlock
+    val m = 1000000L
+    val repos = spark.range(nRepos).select(
+      col("id").as("repoIdx"),
+      (col("id") / cfg.reposPerBlock).cast("long").as("repoBlock"))
+
+    // (a) own-block candidates: every path of the repo's block at p_in.
+    val own = repos
+      .select(col("repoIdx"), col("repoBlock"),
+        explode(sequence(lit(0), lit(cfg.pathsPerBlock - 1))).as("j"))
+      .select(col("repoIdx"), col("repoBlock"),
+        (col("repoBlock") * cfg.pathsPerBlock + col("j")).cast("long").as("pathIdx"))
+      .filter(pmod(xxhash64(col("repoIdx"), col("pathIdx"), lit(cfg.seed)), lit(m))
+        < (cfg.pIn * m).toLong)
+
+    // (b) foreign candidates: `foreignSample` hash-chosen paths per repo,
+    // kept at drawP so that E[cross cells] matches the dense pOut.
+    val drawP = math.min(1.0, cfg.pOut * nPaths / foreignSample)
+    val foreign = repos
+      .select(col("repoIdx"), col("repoBlock"),
+        explode(sequence(lit(0), lit(foreignSample - 1))).as("s"))
+      .select(col("repoIdx"), col("repoBlock"),
+        pmod(xxhash64(col("repoIdx"), col("s"), lit(cfg.seed + 3)), lit(nPaths)).as("pathIdx"),
+        col("s"))
+      .filter((col("pathIdx") / cfg.pathsPerBlock).cast("long") =!= col("repoBlock"))
+      .filter(pmod(xxhash64(col("repoIdx"), col("pathIdx"), col("s"), lit(cfg.seed + 4)), lit(m))
+        < (drawP * m).toLong)
+      .drop("s")
+
+    val cells = own.unionByName(foreign)
+      .withColumn("pathBlock", (col("pathIdx") / cfg.pathsPerBlock).cast("long"))
+      .dropDuplicates("repoIdx", "pathIdx")
+    decorate(cells, cfg)
+  }
+
+  /** Wide (string) columns, applied only after the Bernoulli filter so the
+    * candidate stream stays narrow (two longs) until selection has run. */
+  private def decorate(cells: DataFrame, cfg: Config): DataFrame = {
     val langIdx = pmod(xxhash64(col("pathIdx"), lit(cfg.seed + 1)), lit(langs.size))
     val langCol = element_at(
       array(langs.map(lit): _*), (langIdx + 1).cast("int"))

@@ -31,7 +31,7 @@ final class Checkpoint(spark: SparkSession, dir: String, every: Int = 5) {
       Files.writeString(manifest, line,
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       spark.read.parquet(snap)
-    } else df.localCheckpoint(true)
+    } else df.transform(graft.io.Iterate.pin)
   }
 
   /** Latest durable snapshot (superstep, state) if any — the resume point. */
@@ -53,5 +53,5 @@ final class Checkpoint(spark: SparkSession, dir: String, every: Int = 5) {
 object Checkpoint {
   /** No-op variant for tests / one-shot runs: localCheckpoint only. */
   def inMemory(df: DataFrame, superstep: Int, every: Int = 5): DataFrame =
-    if (superstep % every == 0) df.localCheckpoint(true) else df
+    if (superstep % every == 0) df.transform(graft.io.Iterate.pin) else df
 }

@@ -80,6 +80,26 @@ class EdgeExtractionSpec extends SparkSpec {
     files.unpersist()
   }
 
+  test("sparse generator: deterministic, planted structure, calibrated cross density") {
+    val cfg = RepoTable.Config(nBlocks = 4, reposPerBlock = 25, pathsPerBlock = 20,
+      pIn = 0.5, pOut = 0.02, seed = 3L)
+    val a = RepoTable.generateSparse(spark, cfg, foreignSample = 16)
+    val b = RepoTable.generateSparse(spark, cfg, foreignSample = 16)
+    assert(a.orderBy("repo", "path").collect().toSeq ==
+      b.orderBy("repo", "path").collect().toSeq)
+    // planted structure: same-block (repo, path) cells dominate
+    val withBlocks = a.select(
+      regexp_extract(col("repo"), "^org(\\d+)/", 1).cast("long").as("rb"),
+      regexp_extract(col("path"), "^src/b(\\d+)/", 1).cast("long").as("pb"))
+    val intra = withBlocks.filter(col("rb") === col("pb")).count()
+    val cross = withBlocks.filter(col("rb") =!= col("pb")).count()
+    // E[intra] = 100*20*0.5 = 1000; E[cross] = 100*80*0.02 = 160
+    assert(intra > 700 && intra < 1300, s"intra=$intra")
+    assert(cross > 60 && cross < 320, s"cross=$cross")
+    // the sparse and dense generators agree on schema
+    assert(a.schema == RepoTable.generate(spark, cfg).schema)
+  }
+
   test("generator is deterministic and plants block structure") {
     val cfg = RepoTable.Config(nBlocks = 2, reposPerBlock = 10, pathsPerBlock = 10,
       pIn = 0.7, pOut = 0.05, seed = 11L)

@@ -1,20 +1,20 @@
 #!/usr/bin/env bash
 # Scaling-evidence harness (BASELINE.json north rule): run the identical
-# job (co-occurrence extraction + hedonic to convergence + PageRank) at two
-# parallelism levels — local[8] ("N") and local[32] ("4N") — on the same
-# input, and report throughput at both plus scaling efficiency.
+# job — repo-table synthesis + sha stamp + co-occurrence extraction +
+# hedonic to convergence + PageRank — at two parallelism levels, local[8]
+# ("N") and local[32] ("4N"), on the same deterministic input, and report
+# throughput at both plus the scaling efficiency.
 #
-# Usage: tools/scaling.sh [SF_DIR]   (default /root/testdata/sf0.1)
+# Usage: tools/scaling.sh [OUT_DIR] ; graph size via SPARK_GRAFT_BENCH_BLOCKS.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-SF=${1:-/root/testdata/sf0.1}
-OUT=${2:-/tmp/scaling}
+OUT=${1:-/tmp/scaling}
 mkdir -p "$OUT"
 for CPUS in 8 32; do
-  echo "=== local[$CPUS] on $SF ==="
-  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=$CPUS \
+  echo "=== local[$CPUS] ==="
+  SPARK_GRAFT_CPUS=$CPUS \
     sbt -batch "runMain graft.ScalingBench" 2>/dev/null \
-    | grep '^{"cpus"' | tee "$OUT/scaling_$CPUS.json"
+    | grep -o '{"cpus".*}' | tee "$OUT/scaling_$CPUS.json"
 done
 python3 - "$OUT" <<'EOF'
 import json, sys, pathlib
