@@ -48,11 +48,15 @@ object ScalingBench {
     val t0 = System.nanoTime()
     val gen = if (sparse) RepoTable.generateSparse(spark, cfg)
               else RepoTable.generate(spark, cfg)
-    val files = RepoTable.withSha(gen).persist()
-    val nFiles = files.count()
-    // Per-row invariant check rides the same scan: sha must survive.
-    val badSha = files.filter(col("sha") =!= sha2(col("content"), 256)).count()
-    require(badSha == 0, "sha256 invariant violated")
+    // NOT cached: the wide (string) file table is ~100 B/row; deterministic
+    // regeneration from seeded hashes is cheaper than caching it. One pass
+    // does row count + the per-row sha invariant.
+    val files = RepoTable.withSha(gen)
+    val check = files.agg(
+      count(lit(1)).as("n"),
+      sum((col("sha") =!= sha2(col("content"), 256)).cast("long")).as("bad")).collect()(0)
+    val nFiles = check.getLong(0)
+    require(check.getLong(1) == 0, "sha256 invariant violated")
     val (_, edgesDs) = EdgeExtraction.extract(files, dense = false)
     val edges = edgesDs.persist()
     val edgeCount = edges.count()
