@@ -31,9 +31,26 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Supplier co-occurrence graph (vertex = l_suppkey, path = l_partkey). */
+  /** Pin an edge table once per query: several queries consume the edges
+    * through 2-4 separate actions (density scalar + gather + argmax ...) —
+    * without the pin each action re-runs the full lineitem self-join
+    * (round-1 BENCH showed 4x re-extraction in q_payoff/q_density). */
+  private def pinEdges(e: org.apache.spark.sql.Dataset[Edge]): org.apache.spark.sql.Dataset[Edge] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    graft.io.Iterate.pin(e.toDF()).as[Edge]
+  }
+
+  /** Supplier co-occurrence graph (vertex = l_suppkey, path = l_partkey) —
+    * near-complete at driver SFs (every supplier pair shares a part). */
   private def graph(s: SparkSession, dir: String) =
-    EdgeExtraction.cooccurrence(li(s, dir), "l_suppkey", "l_partkey", maxPathFanout = 1000)
+    pinEdges(EdgeExtraction.cooccurrence(li(s, dir), "l_suppkey", "l_partkey", maxPathFanout = 1000))
+
+  /** SPARSE supplier co-occurrence graph (path = l_orderkey): suppliers
+    * linked iff they appear in a shared order — non-trivial components and
+    * communities, the non-degenerate input for the game/partition ops. */
+  private def graphSparse(s: SparkSession, dir: String) =
+    pinEdges(EdgeExtraction.cooccurrence(li(s, dir), "l_suppkey", "l_orderkey", maxPathFanout = 1000))
 
   /** Initial membership id % 3 over the graph's vertices. */
   private def m0(edges: org.apache.spark.sql.Dataset[Edge]): DataFrame =
@@ -187,15 +204,22 @@ object SparkEntry {
       m
     }),
 
+    // documents-derived media: decode features + frame plan (oracled —
+    // the payload is the doc's UTF-8 bytes, the stub feature its sha256
+    // bytes, both reproducible in DuckDB). Feature arrays EXPLODE to
+    // (media_id, kind, dim, value) rows: hashable for the driver compare
+    // (round-1 err: raw array<float> broke the pandas hash).
     "q_media_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      Multimodal.decodeBatch(Multimodal.synthesize(s, 100)).toDF()
-        .select(col("media_id"), col("kind"), col("feature"))
+      Multimodal.decodeBatch(Multimodal.fromDocuments(docs(s, dir))).toDF()
+        .select(col("media_id"), col("kind"), posexplode(col("feature")))
+        .select(col("media_id"), col("kind"), col("pos").as("dim"),
+          col("col").cast("double").as("value"))
     }),
 
     "q_frame_plan" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      Multimodal.frameSamplePlan(Multimodal.synthesize(s, 100).toDF(), 60000L)
+      Multimodal.frameSamplePlan(Multimodal.fromDocuments(docs(s, dir)).toDF(), 60000L)
     }),
 
     "q_hedonic_full" -> ((s, dir) => {
@@ -204,8 +228,12 @@ object SparkEntry {
       members
     }),
 
+    // full-depth iterative PageRank, oracled: 20 FIXED iterations (the
+    // driver's tol-based stopping point is not SQL-expressible; 20 rounds
+    // exercises the same loop machinery and pins every iteration's math
+    // against a 20-CTE DuckDB chain).
     "q_pagerank_full" -> ((s, dir) =>
-      PageRank.run(graph(s, dir), PageRank.Config(tol = 1e-9, maxIter = 100))
+      PageRank.run(graph(s, dir), PageRank.Config(fixedIter = Some(20)))
         .select(col("id"), round(col("rank"), 6).as("rank"))),
 
     "q_lpa_full" -> ((s, dir) => LabelPropagation.run(graph(s, dir), maxIter = 20)),
@@ -247,14 +275,71 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 3)),
 
     // ------------------------------------------- embeddings
-    "q_embed_pairs" -> ((s, dir) => Similarity.cosinePairs(embs(s, dir), 0.4)),
+    // exact all-pairs cosine is the VERIFICATION baseline only — oracled on
+    // a deterministic 1/5 sample slice (a cartesian product over the full
+    // corpus was round 1's slowest query and a non-starter at scale; the
+    // production path is q_lsh_embed_pairs over the full corpus).
+    "q_embed_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(embs(s, dir).filter(col("vec_id") % 5 === 0), 0.4)),
 
     "q_ann_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.topK(e, e.filter(col("vec_id") < 5), 3)
     }),
 
-    "q_lsh_embed_pairs" -> ((s, dir) => Similarity.lshPairs(embs(s, dir), 0.4)), // rows-only
+    // production near-dup path: 16-bit-band hyperplane LSH over the FULL
+    // corpus (recall pinned by property tests; not SQL-expressible).
+    "q_lsh_embed_pairs" -> ((s, dir) => Similarity.lshPairs(embs(s, dir), 0.4)),
+
+    // --------------------------- sparse order-graph ops (oracled)
+    "q_cc_sparse" -> ((s, dir) => ConnectedComponents.run(graphSparse(s, dir))),
+
+    "q_induced" -> ((s, dir) => {
+      // P3: community 0 (of m0) ∪ its neighbors, induced subgraph.
+      val e = graphSparse(s, dir)
+      val vset = GraphOps.communityWithNeighbors(e, m0(e), 0L)
+      GraphOps.inducedSubgraph(e, vset).toDF()
+    }),
+
+    "q_onepass" -> ((s, dir) => {
+      // M4: one-pass hedonic improvement at alpha = 0.
+      val e = graphSparse(s, dir)
+      Hedonic.onePass(GraphOps.symmetrize(e).select("src", "dst"), m0(e))
+    }),
+
+    "q_wanting" -> ((s, dir) => {
+      // A11: per-community count of nodes preferring it (alpha = 0).
+      val e = graphSparse(s, dir)
+      Hedonic.wantingToMove(GraphOps.symmetrize(e).select("src", "dst"), m0(e))
+    }),
+
+    "q_stability" -> ((s, dir) => {
+      // A12: stability of community 0 under m0 (binary collapse).
+      val e = graphSparse(s, dir)
+      Hedonic.communityStability(GraphOps.symmetrize(e).select("src", "dst"), m0(e), 0L)
+    }),
+
+    "q_cluster_degree_fp" -> ((s, dir) => {
+      // A20: within-cluster degree-distribution fingerprint under m0.
+      val e = graphSparse(s, dir)
+      Metrics.clusterDegreeFingerprint(e, m0(e))
+    }),
+
+    // --------------------------- weighted-graph ops (oracled) — the
+    // engine's mandated co-occurrence graph is weighted (shared paths);
+    // these pin the weighted gather/vote/rank math.
+    "q_wdegrees" -> ((s, dir) => GraphOps.strengths(graph(s, dir))),
+
+    "q_wlpa1" -> ((s, dir) => {
+      val e = graph(s, dir)
+      val labels = GraphOps.vertices(e).select(col("id"), (col("id") % 3).as("label"))
+      LabelPropagation.step(GraphOps.symmetrize(e), labels, weighted = true)
+        .select(col("id"), col("bestLabel").as("label"))
+    }),
+
+    "q_wpagerank3" -> ((s, dir) =>
+      PageRank.run(graph(s, dir), PageRank.Config(fixedIter = Some(3), weighted = true))
+        .select(col("id"), round(col("rank"), 6).as("rank"))),
 
     // ------------------------------------------- events
     "q_events_window" -> ((s, dir) => {
@@ -268,7 +353,13 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  /** Every oracle is post-processed by Oracles.materialize (forces DuckDB
+    * CTE materialization — the inlined form re-evaluates the extraction
+    * prologue per chained CTE and is quadratically slow on q_pagerank_full). */
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) => k -> Oracles.materialize(v) }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q_edges" -> Oracles.edges,
     "q_degrees" -> Oracles.degrees,
     "q_density" -> Oracles.density,
@@ -304,6 +395,20 @@ object SparkEntry {
       FROM toks""",
     "q_embed_pairs" -> Oracles.embedPairs,
     "q_ann_topk" -> Oracles.annTopK,
-    "q_events_window" -> Oracles.eventsWindow
+    "q_events_window" -> Oracles.eventsWindow,
+    // round-2 additions
+    "q_pagerank_full" -> Oracles.pagerank(20),
+    "q_spectrum" -> Oracles.spectrum,
+    "q_media_features" -> Oracles.mediaFeatures,
+    "q_frame_plan" -> Oracles.framePlan,
+    "q_cc_sparse" -> Oracles.ccSparse,
+    "q_induced" -> Oracles.induced,
+    "q_onepass" -> Oracles.onePass,
+    "q_wanting" -> Oracles.wanting,
+    "q_stability" -> Oracles.stability,
+    "q_cluster_degree_fp" -> Oracles.clusterDegreeFp,
+    "q_wdegrees" -> Oracles.wdegrees,
+    "q_wlpa1" -> Oracles.wlpa1,
+    "q_wpagerank3" -> Oracles.wpagerank(3)
   )
 }

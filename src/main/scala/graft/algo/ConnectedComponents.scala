@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.model.Edge
 import graft.graph.GraphOps
+import graft.io.Iterate
 
 /** Connected components — north-rule addition N2. Serial analog in the
   * reference: BFS reachability in scripts/robustness/edges.py:8-28.
@@ -15,51 +16,53 @@ import graft.graph.GraphOps
   * graph. `runNaive` (diameter-bound) is kept as the in-repo cross-check
   * oracle; a property test asserts both agree on random graphs.
   *
+  * Hub safety (the round-1 fix): both star operations are expressed as a
+  * per-group MIN aggregate joined back to the pair stream — never a
+  * `collect_set` of the neighborhood. A 10^8-degree hub vertex therefore
+  * contributes 10^8 ordinary shuffle rows across many partitions (AQE can
+  * split further) instead of one array row that OOMs a single task.
+  *
   * Labels are canonical: comp = min vertex id of the component, so the
   * "exact up to permutation" bar is met exactly.
   */
 object ConnectedComponents {
 
-  /** large-star: for every node u with neighborhood N(u),
-    * m = min(N(u) + {u}); link every strictly larger neighbor to m. */
+  /** large-star: for every node u, m = min(N(u) + {u}); link every strictly
+    * larger neighbor v > u to m. Aggregate+join formulation (no arrays). */
   private def largeStar(pairs: DataFrame): DataFrame = {
     val sym = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-    sym.groupBy("src")
-      .agg(collect_set(col("dst")).as("nbrs"))
-      .select(col("src"),
-        least(col("src"), array_min(col("nbrs"))).as("m"),
-        col("nbrs"))
-      .select(col("src"), col("m"), explode(col("nbrs")).as("v"))
-      .filter(col("v") > col("src"))
-      .select(col("v").as("src"), col("m").as("dst"))
+    val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    sym.join(mins, Seq("src"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
 
-  /** small-star: store each pair at its larger endpoint; with
-    * N-(u) = smaller neighbors and m = min(N-(u)), link N-(u) + {u} minus m
-    * to m. */
+  /** small-star: store each pair at its larger endpoint; with N-(u) the
+    * smaller neighbors and m = min(N-(u)), link (N-(u) + {u}) \ {m} to m.
+    * Since every dst < src in the directed view, m = min(dst) and the
+    * {u}->m link always survives the filter. */
   private def smallStar(pairs: DataFrame): DataFrame = {
     val directed = pairs.select(
       greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    directed.groupBy("src")
-      .agg(collect_set(col("dst")).as("nbrs"))
-      .select(col("src"), array_min(col("nbrs")).as("m"), col("nbrs"))
-      .select(col("m"),
-        explode(array_union(col("nbrs"), array(col("src")))).as("v"))
-      .filter(col("v") =!= col("m"))
-      .select(col("v").as("src"), col("m").as("dst"))
-      .distinct()
+    val mins = directed.groupBy("src").agg(min(col("dst")).as("m"))
+    val nbrLinks = directed.join(mins, Seq("src"))
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val selfLinks = mins.select(col("src"), col("m").as("dst"))
+    nbrLinks.unionByName(selfLinks).distinct()
   }
 
   def run(edges: Dataset[Edge], maxIter: Int = 50): DataFrame = {
-    var pairs = edges.select(col("src"), col("dst")).distinct().transform(graft.io.Iterate.pin)
+    var pairs = edges.select(col("src"), col("dst")).distinct().transform(Iterate.pin)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val next = smallStar(largeStar(pairs)).transform(graft.io.Iterate.pin)
+      val next = smallStar(largeStar(pairs)).transform(Iterate.pin)
       // Set-equality convergence: |A| == |B| == |A union B|.
       val nNext = next.count()
       val nPrev = pairs.count()
@@ -82,7 +85,8 @@ object ConnectedComponents {
     val sym = GraphOps.symmetrize(edges).select("src", "dst").persist()
     sym.count()
     var labels = GraphOps.vertices(edges).select(col("id"), col("id").as("comp"))
-      .transform(graft.io.Iterate.pin)
+      .transform(Iterate.pin)
+    var prevPin: Option[Iterate.Pinned] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -92,9 +96,11 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           (coalesce(col("nmin"), col("comp")) < col("comp")).as("chg"))
-        .transform(graft.io.Iterate.pin)
-      done = next.filter(col("chg")).limit(1).count() == 0
-      labels = next.select("id", "comp")
+      val pinned = Iterate.pinSums(next, Seq("chg"))
+      done = pinned.sums(0) == 0.0
+      labels = pinned.df.select("id", "comp")
+      prevPin.foreach(_.release())
+      prevPin = Some(pinned)
       iter += 1
     }
     sym.unpersist()

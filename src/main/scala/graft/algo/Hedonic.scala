@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.model.{Edge, RunMetrics}
 import graft.graph.GraphOps
-import graft.io.Checkpoint
+import graft.io.{Checkpoint, Iterate}
 
 /** Hedonic-game community detection — the reference's core
   * (`community_hedonic_traversal`, hedonic/__init__.py:214-228), distributed
@@ -27,7 +27,10 @@ import graft.io.Checkpoint
   * canonicalized (current community wins payoff ties, then smallest label)
   * instead of Python dict order. Correctness oracle = the schedule-independent
   * equilibrium post-condition (every vertex's current community is payoff-
-  * maximal at convergence), not label-for-label parity with the sweep.
+  * maximal at convergence), not label-for-label parity with the sweep. The
+  * exhaustive n<=6 meta-graph harness (RobustnessGroundTruthSpec) checks the
+  * stronger property: every engine equilibrium is a best-response-dynamics
+  * sink of the reference's move graph (scripts/robustness/meta_graph.py).
   *
   * Oscillation control: hedonic games are potential games under unilateral
   * moves, but simultaneous moves can cycle. Each superstep only nodes with
@@ -38,6 +41,14 @@ import graft.io.Checkpoint
   * forever on multi-label inits: the same adjacent pair stays co-gated every
   * round). Convergence is declared when a full superstep finds ZERO nodes
   * wanting to move (checked before gating, so it is gate-independent).
+  *
+  * Superstep cost model (the scaling-efficiency lever): exactly ONE Spark
+  * job per superstep. The new state is pinned (eager cache + RDD-lineage
+  * cut + stats barrier, see graft.io.Iterate) while the wants/moved
+  * counters ride the same pass as accumulators — round 1 ran a pin job
+  * PLUS a scalar-aggregate job per superstep, and that fixed driver cost
+  * was the measured bottleneck at N-vs-4N (BASELINE.md). The previous
+  * round's cache is released as soon as the new state is materialized.
   */
 object Hedonic {
 
@@ -53,15 +64,24 @@ object Hedonic {
     * edges with membership on the neighbor endpoint, then a hash aggregate
     * (partial+final map-side combine for free). The current community is
     * union'd in with 0 friends so every node always has its own row
-    * (reference pre-initializes it, hedonic/__init__.py:58-59,342-343). */
-  def gather(sym: DataFrame, members: DataFrame): DataFrame = {
+    * (reference pre-initializes it, hedonic/__init__.py:58-59,342-343).
+    *
+    * `weighted = true` counts each neighbor by edge weight instead of 1 —
+    * the engine's mandated co-occurrence graph is weighted (shared-path
+    * count), so friendship strength is the weight sum. `sym` must then
+    * carry a `weight` column. Reference graphs are unweighted; parity
+    * queries use the default. */
+  def gather(sym: DataFrame, members: DataFrame, weighted: Boolean = false): DataFrame = {
     val nbrComm = members.select(col("id").as("dst"), col("community"))
-    val friendRows = sym.select("src", "dst")
+    val w = if (weighted) col("weight").cast("double") else lit(1L).cast("double")
+    val friendRows = sym
       .join(nbrComm, Seq("dst"))
-      .select(col("src").as("id"), col("community"), lit(1L).as("friends"))
-    friendRows
-      .unionByName(members.select(col("id"), col("community"), lit(0L).as("friends")))
+      .select(col("src").as("id"), col("community"), w.as("friends"))
+    val out = friendRows
+      .unionByName(members.select(col("id"), col("community"), lit(0.0).as("friends")))
       .groupBy("id", "community").agg(sum("friends").as("friends"))
+    // unweighted counts are integral — keep the oracle-stable long type
+    if (weighted) out else out.withColumn("friends", col("friends").cast("long"))
   }
 
   /** Full candidate table with strangers + payoff columns.
@@ -80,20 +100,24 @@ object Hedonic {
   }
 
   /** One synchronous superstep. Returns (newMembers, wantedToMove, moved).
-    * `gate` restricts which improving nodes actually move this round.
-    *
-    * `materialize` controls how the new state is pinned. Default:
-    * Iterate.pin — eager localCheckpoint (cache + RDD-lineage cut) PLUS a
-    * stats barrier. Do not substitute a lazy variant (plans grow ~3^k and
-    * OOM) or a bare localCheckpoint (origin-stats preservation makes
-    * sizeInBytes estimates grow ~3^k into million-digit BigInts that pin
-    * the driver — see graft.io.Iterate). */
+    * `gate` restricts which improving nodes actually move this round. */
   def step(
       sym: DataFrame,
       members: DataFrame,
       alpha: Double,
-      gate: org.apache.spark.sql.Column,
-      materialize: DataFrame => DataFrame = graft.io.Iterate.pin): (DataFrame, Long, Long) = {
+      gate: org.apache.spark.sql.Column): (DataFrame, Long, Long) = {
+    val (pinned, wanted, moved) = stepPinned(sym, members, alpha, gate)
+    (pinned.df.select("id", "community"), wanted, moved)
+  }
+
+  /** Superstep core: builds the argmax-move plan and materializes it in a
+    * single job (pin + accumulator counters fused — see object doc).
+    * Callers that loop MUST release() the previous round's Pinned. */
+  private[graft] def stepPinned(
+      sym: DataFrame,
+      members: DataFrame,
+      alpha: Double,
+      gate: org.apache.spark.sql.Column): (Iterate.Pinned, Long, Long) = {
     val p = payoffs(sym, members, alpha)
     // argmax with canonical tie-break: highest payoff, then current community,
     // then smallest label. struct max orders lexicographically.
@@ -117,20 +141,78 @@ object Hedonic {
         when(col("doMove"), col("bestComm")).otherwise(col("curComm")).as("community"),
         col("wants"),
         col("doMove"))
-    val applied = materialize(applied0)
-    val agg = applied.agg(
-      sum(col("wants").cast("long")).as("w"),
-      sum(col("doMove").cast("long")).as("m")).collect()(0)
-    val wanted = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    val moved = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    val next = applied.select("id", "community")
-    (next, wanted, moved)
+    val pinned = Iterate.pinSums(applied0, Seq("wants", "doMove"))
+    (pinned, pinned.sums(0).toLong, pinned.sums(1).toLong)
+  }
+
+  /** M4 one-pass hedonic improvement at alpha = 0 (reference
+    * `community_onepass_improvement_hedonic`, hedonic/__init__.py:282-292):
+    * preferred communities are computed against the INITIAL membership for
+    * every node, then all moves applied — exactly one synchronous
+    * max-friends step. Canonical tie-break: the current community wins
+    * friend-count ties (matches the reference, whose dict iteration visits
+    * the own community first), then smallest label. */
+  def onePass(sym: DataFrame, members: DataFrame): DataFrame =
+    preferred(sym, members)
+      .select(col("id"), col("pref").as("community"))
+
+  /** alpha=0 argmax: (id, curComm, pref) where pref is the max-friends
+    * candidate community, own community winning ties, then smallest label
+    * (reference get_preferable_community at resolution 0,
+    * hedonic/__init__.py:76-84 + count_nodes_wanting_to_move :396-403). */
+  private def preferred(sym: DataFrame, members: DataFrame): DataFrame =
+    gather(sym, members)
+      .join(members.select(col("id"), col("community").as("curComm")), Seq("id"))
+      .withColumn("isCur", col("community") === col("curComm"))
+      .groupBy("id").agg(
+        max(struct(
+          col("friends"),
+          col("isCur").cast("int").as("ic"),
+          (-col("community")).as("negc"),
+          col("community").as("comm"))).as("b"),
+        first(col("curComm")).as("curComm"))
+      .select(col("id"), col("curComm"), col("b.comm").as("pref"))
+
+  /** A11 `count_nodes_wanting_to_move` (hedonic/__init__.py:396-403),
+    * exposed for ALL target communities at once: per community, how many
+    * nodes prefer it at alpha = 0 (the reference's TODO-noted convention —
+    * preference ignores resolution). */
+  def wantingToMove(sym: DataFrame, members: DataFrame): DataFrame =
+    preferred(sym, members)
+      .groupBy(col("pref").as("community"))
+      .agg(count(lit(1)).as("n_preferring"))
+
+  /** A12 `evaluate_community_stability` (hedonic/__init__.py:411-430): for
+    * one community C, collapse the partition to binary {in C = 1, out = 0},
+    * then report the fraction of C's members preferring outside
+    * (want_to_leave) and the fraction of C's outer NEIGHBORS preferring C
+    * (want_to_join), both under the alpha=0 max-friends preference with the
+    * reference's own-community-wins tie-break. Empty outer-neighbor sets
+    * yield 0 (the reference would divide by zero). */
+  def communityStability(sym: DataFrame, members: DataFrame, community: Long): DataFrame = {
+    val bin = members.select(col("id"),
+      when(col("community") === community, 1L).otherwise(0L).as("community"))
+    val pref = preferred(sym, bin)
+    val insideIds = members.filter(col("community") === community).select("id")
+    val outerNbrIds = sym
+      .join(insideIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .select(col("dst").as("id")).distinct()
+      .join(insideIds, Seq("id"), "left_anti")
+    val leave = pref.join(insideIds, Seq("id"), "left_semi")
+      .agg(round(coalesce(avg((col("pref") === 0L).cast("double")), lit(0.0)), 6)
+        .as("fraction_want_to_leave"))
+    val join_ = pref.join(outerNbrIds, Seq("id"), "left_semi")
+      .agg(round(coalesce(avg((col("pref") === 1L).cast("double")), lit(0.0)), 6)
+        .as("fraction_want_to_join"))
+    leave.crossJoin(join_)
   }
 
   /** Global potential: sum over communities of
     * e_in*(1-a) - (C(n,2) - e_in)*a (intended semantics of
     * hedonic/__init__.py:164-173; the reference's own body is dormant-buggy —
-    * `total_possible_edges` undefined — see SURVEY.md §7.5). */
+    * `total_possible_edges` undefined — see SURVEY.md §7.5). Equals the
+    * meta-graph harness's partition_potential
+    * (scripts/robustness/meta_graph.py:20-29) with gamma = alpha. */
   def potential(edges: Dataset[Edge], members: DataFrame, alpha: Double): Double = {
     val m1 = members.select(col("id").as("src"), col("community").as("c1"))
     val m2 = members.select(col("id").as("dst"), col("community").as("c2"))
@@ -164,6 +246,7 @@ object Hedonic {
     }
 
     var members = startMembers
+    var prevPin: Option[Iterate.Pinned] = None
     var metrics = Vector.empty[RunMetrics]
     var superstep = startStep
     var converged = false
@@ -172,23 +255,26 @@ object Hedonic {
       val gate =
         if (cfg.parityGating) pmod(xxhash64(col("id"), lit(superstep)), lit(2)) === lit(0)
         else lit(true)
-      // Eager localCheckpoint EVERY superstep: `members` is referenced three
-      // times per round (gather + sizes + current-community join), so any
-      // lazy/deferred truncation lets the logical plan grow ~3^k between
-      // cuts — observed as an OOM in TreeNode.treeString. One extra tiny
-      // job per superstep is the right trade at every scale.
-      val cut = superstep % cfg.checkpointEvery == 0
-      val (next, wanted, moved) = step(sym, members, a, gate)
+      // `cut` gates the DURABLE parquet snapshot cadence only (resume
+      // granularity, Checkpoint's `every`); the per-superstep lineage/stats
+      // pin always happens inside stepPinned regardless.
+      val cut = ckpt.isDefined && superstep % cfg.checkpointEvery == 0
+      val (pinned, wanted, moved) = stepPinned(sym, members, a, gate)
+      val next = pinned.df.select("id", "community")
       val pot = if (cfg.trackPotential) potential(edges, next, a) else Double.NaN
       val wallMs = (System.nanoTime() - t0) / 1000000
       val m = RunMetrics(superstep, moved, pot, wanted, edgeCount, wallMs)
       metrics :+= m
-      val metricsJson =
-        s"""{"moved":$moved,"wanted":$wanted,"potential":${if (pot.isNaN) "null" else pot},"wallMs":$wallMs}"""
-      members = ckpt match {
-        case Some(c) if cut => c.truncate(next, superstep, metricsJson)
-        case _              => next
-      }
+      val metricsJson = Checkpoint.json(Map(
+        "moved" -> moved, "wanted" -> wanted,
+        "potential" -> (if (pot.isNaN) null else pot), "wallMs" -> wallMs))
+      members =
+        if (cut) ckpt.get.truncate(next, superstep, metricsJson)
+        else next
+      // previous round's cache is dead; this round's too if a durable
+      // snapshot (parquet re-read) replaced it.
+      prevPin.foreach(_.release())
+      prevPin = if (cut) { pinned.release(); None } else Some(pinned)
       converged = wanted == 0L
       superstep += 1
     }

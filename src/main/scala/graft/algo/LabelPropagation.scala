@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.model.Edge
 import graft.graph.GraphOps
+import graft.io.Iterate
 
 /** Label propagation — north-rule addition N3. One synchronous step IS the
   * reference's `community_onepass_improvement` (hedonic/__init__.py:266-280,
@@ -18,16 +19,23 @@ import graft.graph.GraphOps
   * fix applied: hash-parity gating — only nodes with xxhash64(id) parity ==
   * superstep parity may change. Convergence = a superstep where no node
   * (gated or not) would change.
+  *
+  * Cost model: ONE job per iteration — the new labels are pinned while the
+  * would-change counter rides the materialization pass as an accumulator
+  * (Iterate.pinSums); the previous round's cache is released immediately.
   */
 object LabelPropagation {
 
   /** One synchronous step from `labels(id, label)`; returns new labels with
-    * a `wants` column (true when the majority label differs from current). */
-  def step(sym: DataFrame, labels: DataFrame): DataFrame = {
+    * a `wants` column (true when the majority label differs from current).
+    * `weighted = true` weighs each neighbor vote by edge weight (`sym` must
+    * carry a `weight` column). */
+  def step(sym: DataFrame, labels: DataFrame, weighted: Boolean = false): DataFrame = {
     val nbrLabels = sym.join(
       labels.select(col("id").as("dst"), col("label").as("nbrLabel")), Seq("dst"))
+    val vote = if (weighted) sum(col("weight").cast("double")) else count(lit(1)).cast("double")
     val counts = nbrLabels.groupBy(col("src").as("id"), col("nbrLabel"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(vote.as("cnt"))
     val best = counts.groupBy("id").agg(
       max(struct(col("cnt"), (-col("nbrLabel")).as("neg"), col("nbrLabel").as("lab"))).as("b"))
     labels.join(best, Seq("id"), "left")
@@ -37,17 +45,20 @@ object LabelPropagation {
   }
 
   def run(edges: Dataset[Edge], initOpt: Option[DataFrame] = None,
-          maxIter: Int = 30, parityGating: Boolean = true): DataFrame = {
-    val sym = GraphOps.symmetrize(edges).select("src", "dst").persist()
+          maxIter: Int = 30, parityGating: Boolean = true,
+          weighted: Boolean = false): DataFrame = {
+    val symCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+    val sym = GraphOps.symmetrize(edges).select(symCols.map(col): _*).persist()
     sym.count()
     var labels = initOpt
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
-      .transform(graft.io.Iterate.pin)
+      .transform(Iterate.pin)
+    var prevPin: Option[Iterate.Pinned] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val stepped = step(sym, labels)
+      val stepped = step(sym, labels, weighted)
       val gate =
         if (parityGating) pmod(xxhash64(col("id"), lit(iter)), lit(2)) === lit(0)
         else lit(true)
@@ -55,9 +66,11 @@ object LabelPropagation {
         .select(col("id"),
           when(col("wants") && gate, col("bestLabel")).otherwise(col("label")).as("label"),
           col("wants"))
-        .transform(graft.io.Iterate.pin)
-      done = next.filter(col("wants")).limit(1).count() == 0
-      labels = next.select("id", "label")
+      val pinned = Iterate.pinSums(next, Seq("wants"))
+      done = pinned.sums(0) == 0.0
+      labels = pinned.df.select("id", "label")
+      prevPin.foreach(_.release())
+      prevPin = Some(pinned)
       iter += 1
     }
     sym.unpersist()

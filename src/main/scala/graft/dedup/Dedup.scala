@@ -8,9 +8,12 @@ import graft.text.TextOps
   * `documents(doc_id, text, ...)`.
   *
   * Scale design: every variant is blocking-based — candidates come from an
-  * equi-join on a compact key (hash, band bucket, simhash chunk), never from
-  * an all-pairs product. The only O(n^2) path is the exact-Jaccard verify
-  * *within* candidate groups, whose size is bounded by the band width.
+  * equi-join on a compact key (hash, band bucket, simhash chunk pair),
+  * never from an all-pairs product — and every blocking key space is sized
+  * for real corpora: 64-bit MinHash band hashes, ~26-bit simhash chunk-pair
+  * keys, and a document-frequency cap on raw shingles (one hub shingle
+  * shared by k docs would otherwise emit C(k,2) candidates). In-bucket
+  * verification is quadratic only in the residual bucket occupancy.
   */
 object Dedup {
 
@@ -46,11 +49,24 @@ object Dedup {
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
 
-  /** Exact n-gram Jaccard pairs >= threshold. Candidates = pairs sharing at
-    * least one shingle (equi-join on shingle), so disjoint docs never meet. */
+  /** Exact n-gram Jaccard pairs >= threshold over the CAPPED shingle
+    * universe. Candidates = pairs sharing at least one shingle (equi-join
+    * on shingle), so disjoint docs never meet.
+    *
+    * `maxShingleDF` is the skew guard (round-1 fix): a shingle shared by k
+    * docs yields C(k,2) candidate rows, so one stopword-ish trigram shared
+    * by 10^6 docs is a 10^12-row join. Shingles with document frequency
+    * above the cap are dropped BEFORE the self-join — exactly the
+    * EdgeExtraction.cooccurrence hub-path cap — and doc sizes are counted
+    * over the kept universe so the Jaccard stays internally consistent
+    * (the DuckDB oracle mirrors the cap). */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxShingleDF: Int = 1000): DataFrame = {
+    val sh0 = shingleTable(docs, idCol, textCol, n)
+    val kept = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDF).select("sh")
+    val sh = sh0.join(kept, Seq("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("sh"), col("id").as("ida"))
       .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
@@ -94,13 +110,17 @@ object Dedup {
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(concat_ws(",",
         slice(col("sig"), b * r + 1, r).cast("array<string>")), lit(b))): _*)
-    val banded = sig.select(col("id"), col("sig"), posexplode(bandHashes))
-      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    val cands = banded.select(col("band"), col("bucket"), col("id").as("ida"), col("sig").as("siga"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("idb"), col("sig").as("sigb")),
+    // ids ONLY ride through the band join + distinct; the 64-long
+    // signature arrays re-join afterwards (round-1 shuffled them through).
+    val banded = sig.select(col("id"), posexplode(bandHashes))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("id").as("ida"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("idb")),
         Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb", "siga", "sigb").distinct()
+      .select("ida", "idb").distinct()
+      .join(sig.select(col("id").as("ida"), col("sig").as("siga")), Seq("ida"))
+      .join(sig.select(col("id").as("idb"), col("sig").as("sigb")), Seq("idb"))
     val out = cands.withColumn("eraw",
       size(filter(zip_with(col("siga"), col("sigb"), (a, b) => a === b),
         x => x)).cast("double") / numHashes)
@@ -133,25 +153,42 @@ object Dedup {
       .select(col("id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 4 x 16-bit chunks (pairs within
-    * hamming distance 3 of a 64-bit hash share at least one chunk by
-    * pigeonhole), verify exact hamming distance <= maxHamming. */
+  /** SimHash near-dup pairs with CHUNK-PAIR blocking (round-1 fix): the
+    * 64-bit hash splits into 5 chunks (13+13+13+13+12 bits); a pair within
+    * hamming distance <= 3 has its errors in at most 3 chunks, so at least
+    * 2 of 5 chunks are clean — by pigeonhole the pair collides on at least
+    * one of the C(5,2) = 10 chunk-PAIR keys. Each blocking key is
+    * therefore ~26 bits (≈67M buckets) instead of round 1's 16-bit single
+    * chunks (65k buckets), whose occupancy at 10^9 docs forced quadratic
+    * in-bucket verification. Exact hamming verifies within bucket.
+    *
+    * Requires maxHamming <= 3 (more errors could dirty 4+ chunks and leave
+    * no clean pair). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3,
+      "chunk-pair blocking is exact only for maxHamming <= 3 (5 chunks, 2 clean needed)")
     val sh = simhash(docs, idCol, textCol).persist()
-    val chunks = array((0 until 4).map(c =>
-      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
-    val chunked = sh.select(col("id"), col("simhash"), posexplode(chunks))
-      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("key"))
-    val hamming = {
-      val x = col("sha").bitwiseXOR(col("shb"))
-      bit_count(x)
-    }
-    chunked.select(col("chunk"), col("key"), col("id").as("ida"), col("simhash").as("sha"))
-      .join(chunked.select(col("chunk"), col("key"), col("id").as("idb"), col("simhash").as("shb")),
-        Seq("chunk", "key"))
+    // chunk boundaries: [0,13) [13,26) [26,39) [39,52) [52,64)
+    val starts = Array(0, 13, 26, 39, 52)
+    val lens = Array(13, 13, 13, 13, 12)
+    def chunk(c: Int): Column =
+      shiftrightunsigned(col("simhash"), starts(c)).bitwiseAND((1L << lens(c)) - 1)
+    val combos = for (i <- 0 until 5; j <- (i + 1) until 5) yield (i, j)
+    val keys = array(combos.zipWithIndex.map { case ((i, j), cid) =>
+      // cid (4 bits) | chunk_i (13 bits) | chunk_j (13 bits) packed in a long
+      lit(cid.toLong).multiply(lit(1L << 26))
+        .plus(chunk(i).multiply(lit(1L << 13)))
+        .plus(chunk(j))
+    }: _*)
+    val keyed = sh.select(col("id"), explode(keys).as("key"))
+    val hamming = bit_count(col("sha").bitwiseXOR(col("shb")))
+    keyed.select(col("key"), col("id").as("ida"))
+      .join(keyed.select(col("key"), col("id").as("idb")), Seq("key"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb", "sha", "shb").distinct()
+      .select("ida", "idb").distinct()
+      .join(sh.select(col("id").as("ida"), col("simhash").as("sha")), Seq("ida"))
+      .join(sh.select(col("id").as("idb"), col("simhash").as("shb")), Seq("idb"))
       .withColumn("hamming", hamming.cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")

@@ -59,6 +59,10 @@ object Experiment {
       LabelPropagation.step(sym, init.select(col("id"), col("community").as("label")))
         .select(col("id"), col("bestLabel").as("community"))
     }),
+    "OnePassHedonic" -> ((e, init) => { // M4: one max-friends pass (alpha=0)
+      val sym = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+      Hedonic.onePass(sym, init)
+    }),
     "LabelProp" -> ((e, init) =>
       LabelPropagation.run(e,
           Some(init.select(col("id"), col("community").as("label"))))
@@ -98,17 +102,39 @@ object Experiment {
     out
   }
 
+  /** Deterministic key for one grid point — the S9 memoization key. */
+  private def pointKey(p: Params, methodNames: Seq[String]): String = {
+    val raw = s"${p.nCommunities}|${p.communitySize}|${p.pIn}|${p.multiplier}|" +
+      s"${p.noise}|${p.networkSeed}|${p.partitionSeed}|${methodNames.mkString(",")}"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+  }
+
   /** Run a grid and append results to a parquet table partitioned by the
     * grid keys (the engine's S6/S7 sink: partition columns instead of the
-    * reference's parameter-encoding directory names + regex re-parse). */
+    * reference's parameter-encoding directory names + regex re-parse).
+    *
+    * Work-skipping (S9, the reference's `.completed` markers,
+    * scripts/exp.py:120-122): each finished grid point drops a params-keyed
+    * marker under `outDir/_completed/`; re-running the same grid skips
+    * marked points instead of recomputing + double-appending them. */
   def runGrid(spark: SparkSession, grid: Seq[Params], outDir: String,
               methodNames: Seq[String] = Seq("Hedonic", "LabelProp", "Mirror")): DataFrame = {
     import spark.implicits._
-    val results = grid.flatMap(p => runPoint(spark, p, methodNames))
-    val df = results.toDS().toDF()
-    df.write.mode("append")
-      .partitionBy("number_of_communities", "p_in", "noise")
-      .parquet(outDir)
+    val markerDir = java.nio.file.Paths.get(outDir, "_completed")
+    java.nio.file.Files.createDirectories(markerDir)
+    grid.foreach { p =>
+      val marker = markerDir.resolve(pointKey(p, methodNames))
+      if (!java.nio.file.Files.exists(marker)) {
+        val results = runPoint(spark, p, methodNames)
+        results.toDS().toDF().write.mode("append")
+          .partitionBy("number_of_communities", "p_in", "noise")
+          .parquet(outDir)
+        java.nio.file.Files.writeString(marker, graft.io.Checkpoint.json(Map(
+          "network_seed" -> p.networkSeed, "partition_seed" -> p.partitionSeed,
+          "p_in" -> p.pIn, "noise" -> p.noise)))
+      }
+    }
     spark.read.parquet(outDir)
   }
 

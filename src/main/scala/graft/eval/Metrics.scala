@@ -69,6 +69,24 @@ object Metrics {
     if (row.isNullAt(0)) 1.0 else row.getDouble(0)
   }
 
+  /** A20 within-cluster degree-distribution fingerprint (reference
+    * verify_cluster_degree_distributions, scripts/robustness/robust.py:48-76):
+    * per community, the histogram of SAME-COMMUNITY degrees, vertices with
+    * no internal edge counted at degree 0. One row per
+    * (community, degree) with the number of such vertices. */
+  def clusterDegreeFingerprint(edges: Dataset[Edge], members: DataFrame): DataFrame = {
+    val m1 = members.select(col("id").as("src"), col("community").as("c1"))
+    val m2 = members.select(col("id").as("dst"), col("community").as("c2"))
+    val within = edges.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
+      .filter(col("c1") === col("c2"))
+    val deg = within.select(col("src").as("id"))
+      .unionByName(within.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    members.join(deg, Seq("id"), "left")
+      .select(col("community"), coalesce(col("d"), lit(0L)).as("degree"))
+      .groupBy("community", "degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Fraction of nodes in equilibrium at each resolution in `alphas` —
     * the resolution spectrum (hedonic/__init__.py:432-449). The alpha axis
     * is DATA (explode), not plan replication; always/never-satisfied nodes

@@ -46,6 +46,39 @@ object GraphOps {
   def degrees(edges: Dataset[Edge]): DataFrame =
     symmetrize(edges).groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
 
+  /** Per-vertex strength: sum of incident edge weights — the weighted
+    * degree of the engine's co-occurrence graph (weight = shared paths). */
+  def strengths(edges: Dataset[Edge]): DataFrame =
+    symmetrize(edges).groupBy(col("src").as("id"))
+      .agg(sum(col("weight").cast("double")).as("strength"))
+
+  /** P3 subgraph induction: edges with BOTH endpoints in `vertexIds(id)` —
+    * two semi-joins, no gather. The reference's per-community real-network
+    * mode induces (community ∪ neighbors) before running hedonic
+    * (reference scripts/example.py:33-36, scripts/real_nets.py:125-164). */
+  def inducedSubgraph(edges: Dataset[Edge], vertexIds: DataFrame): Dataset[Edge] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val vs = vertexIds.select(col("id"))
+    edges.toDF()
+      .join(vs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(vs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst", "weight")
+      .as[Edge]
+  }
+
+  /** The reference's per-community vertex set: members of `community` under
+    * `members(id, community)` UNION their direct neighbors
+    * (scripts/example.py:33-36 `com + neighbors`). */
+  def communityWithNeighbors(edges: Dataset[Edge], members: DataFrame,
+                             community: Long): DataFrame = {
+    val inside = members.filter(col("community") === community).select("id")
+    val nbrs = symmetrize(edges)
+      .join(inside.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .select(col("dst").as("id"))
+    inside.unionByName(nbrs).distinct()
+  }
+
   /** Graph density 2E/(V(V-1)) — the reference's default resolution alpha
     * (hedonic/__init__.py:78,215; scripts/experiment.py:76). Driver-side
     * scalar; one job over the edge table. */

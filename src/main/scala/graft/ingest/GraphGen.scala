@@ -16,9 +16,12 @@ object GraphGen {
     * `nCommunities` blocks of `communitySize` vertices; edge (u,v) exists
     * with prob pIn when same block else pOut = pIn * multiplier.
     *
-    * The pair stream is generated blockwise from two `spark.range`s so only
-    * candidate pairs are materialized; at scale the Bernoulli filter runs
-    * before any wide column exists.
+    * This is the DENSE path: the V x V candidate cross product is
+    * enumerated (as two narrow `spark.range`s, filtered before any wide
+    * column exists) — O(V^2) candidates, intended for the reference's
+    * small experiment graphs (V <= ~10^4). For large planted graphs use
+    * RepoTable.generateSparse, which samples candidates blockwise
+    * (own-block dense + a calibrated foreign sample) in O(V * k).
     */
   def sbm(spark: SparkSession, nCommunities: Int, communitySize: Int,
           pIn: Double, pOut: Double, seed: Long): Dataset[Edge] = {

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** Lineage + statistics barrier for iterative dataflows.
   *
@@ -20,8 +21,67 @@ import org.apache.spark.sql.DataFrame
   * per downstream job — noise next to a superstep's shuffles.
   */
 object Iterate {
+  // release() of a locally-checkpointed RDD intentionally discards
+  // recomputability (the NEXT state is already materialized before the
+  // previous is dropped); Spark's per-unpersist WARN about it would fire
+  // once per superstep — silence that single logger, nothing else.
+  try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+  catch { case _: Throwable => () }
+
   def pin(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(true)
     c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  /** A pinned iteration state plus the column sums observed while pinning.
+    * `release()` drops the backing cache once the NEXT state is pinned —
+    * without it a long superstep loop accumulates one cached copy of the
+    * state per round in the block manager. */
+  final class Pinned private[Iterate] (val df: DataFrame, val sums: Array[Double],
+                                       rdd: RDD[Row]) {
+    def release(): Unit = rdd.unpersist(blocking = false)
+  }
+
+  /** Materialize + aggregate in ONE Spark job — the superstep fixed-cost
+    * cut. The round-1 loop shape was two jobs per superstep (an eager
+    * localCheckpoint, then a scalar aggregate for the convergence /
+    * metrics counters); at small per-superstep data the second job is pure
+    * scheduling + plan-optimization overhead. Here the counters ride along
+    * the materialization pass as accumulators: sum of each named column
+    * (booleans count as 0/1, nulls as 0).
+    *
+    * Accumulator caveat handled: values are read immediately after the
+    * single materializing action, before any downstream job could
+    * recompute partitions and double-fire updates.
+    *
+    * Same stats-barrier guarantees as `pin`: the returned frame wraps a
+    * lineage-truncated (RDD localCheckpoint), cached RDD with no origin
+    * stats.
+    */
+  def pinSums(df: DataFrame, aggCols: Seq[String]): Pinned = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idxs = aggCols.map(schema.fieldIndex).toArray
+    val accs = aggCols.map(c => spark.sparkContext.doubleAccumulator(s"pin_$c")).toArray
+    val rdd =
+      if (idxs.isEmpty) df.rdd
+      else df.rdd.map { row =>
+        var i = 0
+        while (i < idxs.length) {
+          if (!row.isNullAt(idxs(i))) {
+            row.get(idxs(i)) match {
+              case b: Boolean   => if (b) accs(i).add(1.0)
+              case n: java.lang.Number => accs(i).add(n.doubleValue())
+              case _            => ()
+            }
+          }
+          i += 1
+        }
+        row
+      }
+    rdd.localCheckpoint() // persists (MEMORY_AND_DISK) + truncates lineage
+    rdd.count()           // the one job: compute + cache + count + accumulate
+    new Pinned(spark.createDataFrame(rdd, schema), accs.map(_.value.doubleValue()), rdd)
   }
 }

@@ -43,29 +43,50 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: deterministic 8-dim feature from a rolling hash of the
-    * payload. Replace this body with the real codec call; everything else
-    * (partition amortization, batch shape, schema) stays. */
-  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    var h = 1125899906842597L
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      out(i % 8) += (h % 1000) / 1000.0f
-      i += 1
-    }
-    out
+  /** Media table derived from `documents(doc_id, text)` — the payload is
+    * the document's UTF-8 bytes, metadata is pure arithmetic on doc_id.
+    * Unlike `synthesize` (xxhash-seeded), every derived column here is
+    * reproducible by the DuckDB oracle, so the decode pipeline gets a real
+    * CORRECTNESS row (q_media_features, q_frame_plan). */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    docs.select(
+      col("doc_id").cast("long").as("media_id"),
+      element_at(kinds, (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        (pmod(col("doc_id") * 37L, lit(1920L)) + 1).cast("int").as("width"),
+        (pmod(col("doc_id") * 53L, lit(1080L)) + 1).cast("int").as("height"),
+        (pmod(col("doc_id") * 7919L, lit(600000L)) + 1).as("durationMs"),
+        lit(16000).as("sampleRate"),
+        lit("stub").as("codec")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: deterministic 8-dim feature = the first 8 bytes of the
+    * payload's SHA-256 digest, as floats 0..255 (integral, so the values
+    * survive float->double round-trips bit-exactly — the DuckDB oracle
+    * recomputes them from sha256 hex). Replace this body with the real
+    * codec call; everything else (partition amortization, batch shape,
+    * schema) stays. */
+  private def decodeStub(digest: java.security.MessageDigest,
+                         bytes: Array[Byte]): Array[Float] = {
+    digest.reset()
+    val d = digest.digest(bytes)
+    Array.tabulate(8)(i => (d(i) & 0xff).toFloat)
   }
 
   /** Per-partition batched decode → feature extraction. mapPartitions so a
     * real decoder initializes once per partition (the JNI/py-worker
-    * pattern); rows stream through without materializing the partition. */
+    * pattern — here a MessageDigest instance, which is exactly the shape a
+    * native codec handle takes); rows stream through without materializing
+    * the partition. */
   def decodeBatch(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init hook for a real decoder would go here
-      rows.map(r => MediaFeature(r.media_id, r.kind, decodeStub(r.bytes)))
+      val digest = java.security.MessageDigest.getInstance("SHA-256") // once per partition
+      rows.map(r => MediaFeature(r.media_id, r.kind, decodeStub(digest, r.bytes)))
     }
   }
 

@@ -8,11 +8,22 @@ import org.apache.spark.sql.expressions.Window
   * `embeddings(vec_id, embedding, label)` table.
   *
   * Two tiers:
-  *  - brute-force cosine top-k: exact baseline. Queries are broadcast, so
-  *    the corpus is scanned once with no shuffle of the big side.
+  *  - brute-force cosine top-k / all-pairs: exact baselines, kept for
+  *    verification and for broadcastable query sets. The oracled
+  *    q_embed_pairs runs the exact path on a SAMPLED slice only.
   *  - LSH-bucketed (random hyperplane signs): the 100 TB path. Hyperplanes
   *    are derived from seeded hashes (deterministic, no rand()); candidates
-  *    share a signature prefix bucket, exact cosine re-ranks within bucket.
+  *    share a 16-bit band key, exact cosine re-ranks within bucket.
+  *
+  * Band-key sizing (the round-1 fix): 64 planes / 4 bands = 16 bits per
+  * band = 65,536 buckets per band. Round 1 shipped 16 planes / 4-bit bands
+  * = 16 buckets — every corpus past 10^4 vectors degenerated to near-all-
+  * pairs inside buckets. With 16-bit keys the expected bucket occupancy at
+  * 10^9 vectors is ~15k, and the per-band candidate mass scales linearly
+  * in corpus size for any fixed key width only if keys keep pace with the
+  * corpus — widen via `numPlanes`/`bands` (e.g. 128/4 = 32-bit keys) when
+  * deploying beyond ~10^8 rows; a recall property test pins quality
+  * (SimilarityRecallSpec).
   */
 object Similarity {
 
@@ -27,7 +38,7 @@ object Similarity {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact cosine near-duplicate pairs >= threshold. All-pairs product —
-    * only for modest corpus sizes / verification; the scale path is
+    * only for modest corpus sizes / verification slices; the scale path is
     * `lshPairs`. */
   def cosinePairs(vecs: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -44,38 +55,49 @@ object Similarity {
   private def planeComponent(plane: Column, dim: Column, seed: Long): Column =
     (pmod(xxhash64(plane, dim, lit(seed)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
 
-  /** Sign signature under `numPlanes` hyperplanes, as a bit-packed long. */
-  def hyperplaneSignature(vecCol: Column, numPlanes: Int = 16, seed: Long = 7L): Column = {
+  /** Per-plane sign bits (0/1) under `numPlanes` seeded hyperplanes, as an
+    * array<long> — kept unpacked so any band width can be sliced out
+    * without 64-bit sign-bit overflow. */
+  def hyperplaneSigns(vecCol: Column, numPlanes: Int = 64, seed: Long = 7L): Column = {
     val v = asDouble(vecCol)
-    val signs = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+    transform(sequence(lit(0), lit(numPlanes - 1)), p => {
       val dot = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1).cast("array<double>"),
           (x, i) => x * planeComponent(p, i, seed)),
         lit(0.0), (s, x) => s + x)
       when(dot >= 0, 1L).otherwise(0L)
     })
-    aggregate(signs, lit(0L), (acc, s) => acc * 2 + s)
+  }
+
+  /** Band keys from the sign array: bands x (numPlanes/bands)-bit integers. */
+  private def bandKeysCol(signs: Column, numPlanes: Int, bands: Int): Column = {
+    val r = numPlanes / bands
+    array((0 until bands).map { b =>
+      aggregate(slice(signs, b * r + 1, r), lit(0L), (acc, s) => acc * 2 + s)
+    }: _*)
   }
 
   /** LSH near-dup pairs: bucket on `bands` sub-signatures (multi-probe via
-    * banding), verify exact cosine within bucket. */
+    * banding), verify exact cosine within bucket. Candidate rows carry IDS
+    * ONLY through the distinct (vectors re-join afterwards — shuffling the
+    * embedding payload through the band join was round-1 dead weight). */
   def lshPairs(vecs: DataFrame, threshold: Double,
-               numPlanes: Int = 16, bands: Int = 4, seed: Long = 7L,
+               numPlanes: Int = 64, bands: Int = 4, seed: Long = 7L,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(numPlanes % bands == 0)
-    val r = numPlanes / bands
-    val mask = (1L << r) - 1
-    val sig = vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      hyperplaneSignature(col(vecCol), numPlanes, seed).as("sig"))
-    val bandKeys = array((0 until bands).map(b =>
-      shiftrightunsigned(col("sig"), b * r).bitwiseAND(mask)): _*)
-    val banded = sig.select(col("id"), col("v"), posexplode(bandKeys))
-      .select(col("id"), col("v"), col("pos").as("band"), col("col").as("bucket"))
-    banded.select(col("band"), col("bucket"), col("id").as("ida"), col("v").as("va"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("idb"), col("v").as("vb")),
+    val base = vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).persist()
+    val keyed = base.select(col("id"),
+      bandKeysCol(hyperplaneSigns(col("v"), numPlanes, seed), numPlanes, bands).as("keys"))
+    val banded = keyed.select(col("id"), posexplode(col("keys")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("id").as("ida"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("idb")),
         Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb", "va", "vb").distinct()
+      .select("ida", "idb").distinct()
+    cands
+      .join(base.select(col("id").as("ida"), col("v").as("va")), Seq("ida"))
+      .join(base.select(col("id").as("idb"), col("v").as("vb")), Seq("idb"))
       .withColumn("craw", cosine(col("va"), col("vb")))
       .filter(col("craw") >= threshold)
       .select(col("ida"), col("idb"), round(col("craw"), 6).as("cos"))

@@ -38,22 +38,46 @@ object EventStream {
     * the standard lambda shape for a 10^12-row ingest.) */
   def filesToPairDeltas(files: DataFrame, maxPathFanout: Int = 1000): DataFrame = {
     // within a micro-batch: same equi-join-on-path pairing as the batch
-    // extractor; fanout cap bounds the quadratic blowup per batch.
+    // extractor, INCLUDING its hub cap — a hot path appearing in n rows of
+    // one micro-batch would otherwise emit C(n,2) pairs (the same skew
+    // point EdgeExtraction.cooccurrence guards).
     val rp = files.select(col("repo"), col("path"))
-    val a = rp.select(col("path"), col("repo").as("ra"))
-    val b = rp.select(col("path"), col("repo").as("rb"))
+    val kept = rp.groupBy("path").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= maxPathFanout).select("path")
+    val capped = rp.join(kept, Seq("path"))
+    val a = capped.select(col("path"), col("repo").as("ra"))
+    val b = capped.select(col("path"), col("repo").as("rb"))
     a.join(b, Seq("path")).filter(col("ra") < col("rb"))
       .select(col("ra"), col("rb"), col("path"))
   }
 
-  /** Run the windowed aggregation as a streaming query into a memory sink
-    * (smoke/demo surface; production would use a parquet/kafka sink). */
+  /** DEMO-ONLY runner: memory sink in `complete` mode re-emits the whole
+    * result every batch and — because complete mode never drops state —
+    * the watermark set in windowedStats is inert here; state grows with
+    * the number of open windows. Use `runToParquet` for the production
+    * shape. */
   def runToMemory(spark: SparkSession, stream: DataFrame, queryName: String) = {
     windowedStats(stream)
       .writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
+      .start()
+  }
+
+  /** Production-shaped runner: append mode + watermark, so window state is
+    * EVICTED once the watermark passes (bounded state at 100 TB/day rates);
+    * each window is emitted exactly once, on finalization, to a parquet
+    * sink that a downstream compaction folds in. */
+  def runToParquet(stream: DataFrame, outDir: String, checkpointDir: String,
+                   windowLen: String = "5 minutes",
+                   watermark: String = "10 minutes") = {
+    windowedStats(stream, windowLen, watermark)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
       .start()
   }
 }

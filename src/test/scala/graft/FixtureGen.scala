@@ -49,8 +49,18 @@ object FixtureGen {
     Files.writeString(dir.resolve("kite_payoffs_m3.csv"),
       "id,community,friends,strangers,payoff\n" + rows.mkString("\n") + "\n")
 
+    // Exhaustive best-response sinks of the two-triangle 6-vertex graph
+    // (game move set, alpha = density) — one normalized partition per line,
+    // communities ';'-separated, members ','-separated.
+    val tt = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val aTT = 2.0 * tt.size / (6 * 5)
+    val sinkLines = ExhaustiveGroundTruth.sinks(tt, 6, aTT)
+      .map(_.map(_.mkString(",")).mkString(";")).toSeq.sorted
+    Files.writeString(dir.resolve("two_triangles_sinks.txt"),
+      sinkLines.mkString("\n") + "\n")
+
     println(s"wrote ${dir.toAbsolutePath}: zachary_pagerank20.json, " +
-      "three_components.json, kite_payoffs_m3.csv " +
-      s"(kite alpha=$alpha)")
+      "three_components.json, kite_payoffs_m3.csv, two_triangles_sinks.txt " +
+      s"(kite alpha=$alpha, ${sinkLines.size} sinks)")
   }
 }
