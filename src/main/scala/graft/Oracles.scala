@@ -35,8 +35,8 @@ object Oracles {
     * co-occurrence dimension: l_partkey = the dense "shared part" graph
     * (near-complete at driver SFs), l_orderkey = the sparse "shared order"
     * graph (non-trivial components/communities). */
-  def graphCtesOn(pathKey: String): String = s"""
-    sp AS (SELECT DISTINCT l_suppkey AS id, $pathKey AS pk FROM lineitem),
+  def graphCtesOn(pathKey: String, where: String = ""): String = s"""
+    sp AS (SELECT DISTINCT l_suppkey AS id, $pathKey AS pk FROM lineitem $where),
     keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 1000),
     spk AS (SELECT sp.id, sp.pk FROM sp JOIN keep USING (pk)),
     edges AS (
@@ -51,6 +51,16 @@ object Oracles {
 
   val graphCtes: String = graphCtesOn("l_partkey")
   val sparseCtes: String = graphCtesOn("l_orderkey")
+
+  /** THIN graph (SparkEntry.graphThin): deterministic sparsifier — only
+    * l_quantity <= 1 rows participate. The part/order graphs are complete
+    * at driver SFs; this one has real iterative dynamics. */
+  val thinCtes: String = graphCtesOn("l_partkey", "WHERE l_quantity <= 1")
+
+  /** Portable parity gate mirror (graft.util.Portable.parityGate): node
+    * `idExpr` may act in round `round` iff the md5-derived u32 is even. */
+  private def gateSql(idExpr: String, round: Int): String =
+    s"(('0x' || substr(md5('g:' || $idExpr || ':' || $round), 1, 8))::BIGINT % 2 = 0)"
 
   val edges: String =
     s"WITH $graphCtes SELECT src, dst, weight FROM edges"
@@ -365,7 +375,7 @@ object Oracles {
     * `shk` mirrors the engine's document-frequency cap (maxShingleDF=1000):
     * hub shingles are dropped BEFORE the candidate self-join and doc sizes
     * are counted over the kept universe. */
-  private val shingleCte = s"""$toksCte,
+  private val shingleBase = s"""$toksCte,
     tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
     sh0 AS (
       SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
@@ -374,7 +384,9 @@ object Oracles {
       JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
       UNION
       SELECT doc_id, list_aggregate(t, 'string_agg', ' ') AS sh
-      FROM toks WHERE len(t) < 3),
+      FROM toks WHERE len(t) < 3)"""
+
+  private val shingleCte = s"""$shingleBase,
     shk AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
     sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN shk USING (sh))"""
 
@@ -597,5 +609,175 @@ object Oracles {
       r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS rank FROM verts),
       $iters
       SELECT id, round(rank, 6) AS rank FROM r$n"""
+  }
+
+  // -------------------------------------- round-3 oracles (portable hashes)
+
+  /** Full gated hedonic run, replayed as `k` chained superstep levels on the
+    * THIN graph from the singleton partition (mirrors q_hedonic_full:
+    * Hedonic.run with the portable md5 parity gate). Levels past the
+    * engine's convergence point are identity (no node strictly improves),
+    * so any k >= the convergence superstep count reproduces the fixpoint —
+    * 23 supersteps at sf0.01, 15 at sf0.001; k=32 carries margin. */
+  def hedonicFull(k: Int): String = {
+    def level(i: Int): String = {
+      val prev = if (i == 1) "ms0" else s"ms${i - 1}"
+      s"""
+    cand$i AS (
+      SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
+        SELECT s.src AS id, m.community, 1 AS friends FROM sym s JOIN $prev m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0 AS friends FROM $prev
+      ) GROUP BY id, community),
+    size$i AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM $prev GROUP BY community),
+    pay$i AS (
+      SELECT c.id, c.community,
+             c.friends * (1.0 - (SELECT a FROM alpha)) -
+               (s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END)) * (SELECT a FROM alpha) AS payoff,
+             (c.community = m.community) AS iscur
+      FROM cand$i c JOIN size$i s ON c.community = s.community JOIN $prev m ON c.id = m.id),
+    rk$i AS (
+      SELECT id, community, payoff, iscur,
+             row_number() OVER (PARTITION BY id
+               ORDER BY payoff DESC, iscur DESC, community ASC) AS rn,
+             max(CASE WHEN iscur THEN payoff END) OVER (PARTITION BY id) AS curp,
+             max(CASE WHEN iscur THEN community END) OVER (PARTITION BY id) AS curc
+      FROM pay$i),
+    ms$i AS (
+      SELECT id,
+             CAST(CASE WHEN payoff > curp AND ${gateSql("id", i - 1)}
+                       THEN community ELSE curc END AS BIGINT) AS community
+      FROM rk$i WHERE rn = 1)"""
+    }
+    s"""WITH $thinCtes, $alphaCte,
+    ms0 AS (SELECT id, id AS community FROM verts),
+    ${(1 to k).map(level).mkString(",\n")}
+    SELECT id, community FROM ms$k"""
+  }
+
+  /** Full gated LPA replayed as `k` chained levels on the THIN graph from
+    * labels = id (mirrors q_lpa_full: LabelPropagation.run, portable gate,
+    * maxIter = k; levels past convergence are identity). */
+  def lpaFull(k: Int): String = {
+    def level(i: Int): String = {
+      val prev = if (i == 1) "lb0" else s"lb${i - 1}"
+      s"""
+    cnt$i AS (
+      SELECT s.src AS id, l.label AS nbrlabel, count(*) AS cnt
+      FROM sym s JOIN $prev l ON s.dst = l.id GROUP BY s.src, l.label),
+    bst$i AS (
+      SELECT id, nbrlabel FROM (
+        SELECT id, nbrlabel,
+               row_number() OVER (PARTITION BY id ORDER BY cnt DESC, nbrlabel ASC) AS rn
+        FROM cnt$i) WHERE rn = 1),
+    lb$i AS (
+      SELECT p.id,
+             CAST(CASE WHEN b.nbrlabel IS NOT NULL AND b.nbrlabel <> p.label
+                        AND ${gateSql("p.id", i - 1)}
+                       THEN b.nbrlabel ELSE p.label END AS BIGINT) AS label
+      FROM $prev p LEFT JOIN bst$i b ON p.id = b.id)"""
+    }
+    s"""WITH $thinCtes,
+    lb0 AS (SELECT id, id AS label FROM verts),
+    ${(1 to k).map(level).mkString(",\n")}
+    SELECT id, label FROM lb$k"""
+  }
+
+  /** Banded MinHash near-dup pairs (mirrors Dedup.minhashPairs: 64 portable
+    * md5 permutations over the UNCAPPED distinct-shingle table, 16 bands of
+    * 4, bucket = md5 of the comma-joined band slice, estimate = agreeing
+    * components / 64). */
+  val minhashPairs: String = {
+    val n = 64; val bands = 16; val r = 4; val thr = 0.35
+    val sigCols = (0 until n).map(i =>
+      s"min(md5('mh:' || sh || ':' || $i)) AS h$i").mkString(",\n        ")
+    val bandSel = (0 until bands).map { b =>
+      val parts = (0 until r).map(j => s"h${b * r + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sigs"
+    }.mkString("\n      UNION ALL ")
+    val agree = (0 until n).map(i =>
+      s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleBase,
+    sigs AS (SELECT doc_id, $sigCols FROM sh0 GROUP BY doc_id),
+    bnd AS ($bandSel),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT ida, idb, ($agree) / 64.0 AS eraw
+      FROM cand JOIN sigs x ON ida = x.doc_id JOIN sigs y ON idb = y.doc_id)
+    SELECT ida, idb, round(eraw, 6) AS est_jaccard FROM est WHERE eraw >= $thr"""
+  }
+
+  /** SimHash chunk-pair near-dup pairs (mirrors Dedup.simhashPairs: token
+    * bit k = md5 nibble k/4 >> (k%4) & 1, signs of the +/-1 sums, 5-chunk
+    * choose-2 blocking, exact hamming <= 3 verify). Docs with zero tokens
+    * hash to 0 (the 3-branch CASE keeps the LEFT-JOIN null row neutral). */
+  val simhashPairs: String = {
+    val sums = (0 until 64).map { k =>
+      s"coalesce(sum(CASE WHEN h IS NULL THEN NULL WHEN (('0x' || substr(h, ${k / 4 + 1}, 1))::BIGINT >> ${k % 4}) & 1 = 1 THEN 1 ELSE -1 END), 0) AS s$k"
+    }.mkString(",\n        ")
+    val bits = (0 until 64).map(k =>
+      s"CASE WHEN s$k > 0 THEN 1 ELSE 0 END AS b$k").mkString(",\n        ")
+    val starts = Array(0, 13, 26, 39, 52); val lens = Array(13, 13, 13, 13, 12)
+    val chunks = (0 until 5).map { c =>
+      val terms = (0 until lens(c)).map(t => s"b${starts(c) + t} * ${1L << t}").mkString(" + ")
+      s"($terms) AS c$c"
+    }.mkString(",\n        ")
+    val combos = for (i <- 0 until 5; j <- (i + 1) until 5) yield (i, j)
+    val keySel = combos.zipWithIndex.map { case ((i, j), cid) =>
+      s"SELECT doc_id, ${cid.toLong * (1L << 26)} + c$i * ${1L << 13} + c$j AS key FROM ch"
+    }.mkString("\n      UNION ALL ")
+    val ham = (0 until 64).map(k =>
+      s"CASE WHEN x.b$k <> y.b$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $toksCte,
+    tok2 AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    hw AS (SELECT doc_id, md5('sb:' || w) AS h FROM tok2),
+    sms AS (
+      SELECT d.doc_id,
+        $sums
+      FROM documents d LEFT JOIN hw ON d.doc_id = hw.doc_id
+      GROUP BY d.doc_id),
+    bv AS (SELECT doc_id,
+        $bits
+      FROM sms),
+    ch AS (SELECT doc_id,
+        $chunks
+      FROM bv),
+    keys AS ($keySel),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM keys a JOIN keys b ON a.key = b.key AND a.doc_id < b.doc_id),
+    hout AS (
+      SELECT ida, idb, CAST(($ham) AS INT) AS hamming
+      FROM cand JOIN bv x ON ida = x.doc_id JOIN bv y ON idb = y.doc_id)
+    SELECT ida, idb, hamming FROM hout WHERE hamming <= 3"""
+  }
+
+  /** Hyperplane-LSH cosine near-dup pairs (mirrors Similarity.lshPairs:
+    * 64 portable md5 hyperplanes, 4 bands of 16 sign bits MSB-first,
+    * exact cosine >= 0.4 verify within bucket). */
+  val lshEmbedPairs: String = {
+    def comp(p: String, d: String): String =
+      s"((('0x' || substr(md5('pl:' || $p || ':' || $d || ':7'), 1, 8))::BIGINT % 2000001) - 1000000) / 1000000.0"
+    val bandSel = (0 until 4).map { b =>
+      val terms = (0 until 16).map(t => s"s[${16 * b + t + 1}] * ${1L << (15 - t)}").mkString(" + ")
+      s"SELECT vec_id, $b AS band, $terms AS bucket FROM sgn"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sgn AS (
+      SELECT vec_id,
+             list_transform(range(64), p ->
+               CASE WHEN list_sum(list_transform(range(len(v)), d ->
+                 v[d + 1] * (${comp("p", "d")}))) >= 0 THEN 1 ELSE 0 END) AS s
+      FROM emb),
+    bnd AS ($bandSel),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    ver AS (
+      SELECT ida, idb, list_cosine_similarity(x.v, y.v) AS craw
+      FROM cand JOIN emb x ON ida = x.vec_id JOIN emb y ON idb = y.vec_id)
+    SELECT ida, idb, round(craw, 6) AS cos FROM ver WHERE craw >= 0.4"""
   }
 }

@@ -52,6 +52,17 @@ object SparkEntry {
   private def graphSparse(s: SparkSession, dir: String) =
     pinEdges(EdgeExtraction.cooccurrence(li(s, dir), "l_suppkey", "l_orderkey", maxPathFanout = 1000))
 
+  /** THIN supplier co-occurrence graph: only lineitems with l_quantity <= 1
+    * participate (deterministic sparsifier, mirrored by the oracle). Both
+    * the part and order graphs are COMPLETE at driver SFs (every supplier
+    * pair shares a part and an order), which makes every partition of them
+    * an instant hedonic equilibrium; the thin graph (~avg degree 7 at
+    * sf0.01) has real multi-superstep dynamics, so the full iterative runs
+    * (q_hedonic_full, q_lpa_full, ...) are exercised non-trivially. */
+  private def graphThin(s: SparkSession, dir: String) =
+    pinEdges(EdgeExtraction.cooccurrence(
+      li(s, dir).filter(col("l_quantity") <= 1), "l_suppkey", "l_partkey", maxPathFanout = 1000))
+
   /** Initial membership id % 3 over the graph's vertices. */
   private def m0(edges: org.apache.spark.sql.Dataset[Edge]): DataFrame =
     GraphOps.vertices(edges).select(col("id"), (col("id") % 3).as("community"))
@@ -181,15 +192,15 @@ object SparkEntry {
         countDistinct("l_partkey").as("n_parts"),
         countDistinct("l_orderkey").as("n_orders"))),
 
-    // -------------------------------------- graph, iterative (rows-only)
+    // ---------------------- graph, iterative (thin graph: real dynamics)
     "q_leiden_full" -> ((s, dir) => {
-      val e = graph(s, dir)
+      val e = graphThin(s, dir)
       graft.algo.Leiden.run(e, m0(e), levels = 2,
         hedonicCfg = Hedonic.Config(maxSupersteps = 30))
     }),
 
     "q_hedonic_frontier" -> ((s, dir) => {
-      val e = graph(s, dir)
+      val e = graphThin(s, dir)
       val (m, _) = graft.algo.HedonicFrontier.run(e, m0(e),
         Hedonic.Config(maxSupersteps = 60))
       m
@@ -222,9 +233,14 @@ object SparkEntry {
       Multimodal.frameSamplePlan(Multimodal.fromDocuments(docs(s, dir)).toDF(), 60000L)
     }),
 
+    // full gated hedonic run to equilibrium from the SINGLETON partition on
+    // the thin graph (23 supersteps at sf0.01) — oracled end-to-end: the
+    // portable md5 parity gate lets DuckDB replay every superstep
+    // (Oracles.hedonicFull; levels past convergence are identity).
     "q_hedonic_full" -> ((s, dir) => {
-      val e = graph(s, dir)
-      val (members, _) = Hedonic.run(e, m0(e), Hedonic.Config(maxSupersteps = 60))
+      val e = graphThin(s, dir)
+      val init = GraphOps.vertices(e).select(col("id"), col("id").as("community"))
+      val (members, _) = Hedonic.run(e, init, Hedonic.Config(maxSupersteps = 60))
       members
     }),
 
@@ -236,7 +252,9 @@ object SparkEntry {
       PageRank.run(graph(s, dir), PageRank.Config(fixedIter = Some(20)))
         .select(col("id"), round(col("rank"), 6).as("rank"))),
 
-    "q_lpa_full" -> ((s, dir) => LabelPropagation.run(graph(s, dir), maxIter = 20)),
+    // full gated LPA on the thin graph (engine stops at maxIter=20 at
+    // sf0.01) — oracled as exactly 20 replayed gated levels.
+    "q_lpa_full" -> ((s, dir) => LabelPropagation.run(graphThin(s, dir), maxIter = 20)),
 
     "q_spectrum" -> ((s, dir) => {
       val e = graph(s, dir)
@@ -409,6 +427,13 @@ object SparkEntry {
     "q_cluster_degree_fp" -> Oracles.clusterDegreeFp,
     "q_wdegrees" -> Oracles.wdegrees,
     "q_wlpa1" -> Oracles.wlpa1,
-    "q_wpagerank3" -> Oracles.wpagerank(3)
+    "q_wpagerank3" -> Oracles.wpagerank(3),
+    // round-3 additions: portable md5 hash family makes the randomized
+    // scale paths and full gated iterative runs DuckDB-replicable
+    "q_hedonic_full" -> Oracles.hedonicFull(32),
+    "q_lpa_full" -> Oracles.lpaFull(20),
+    "q_minhash_pairs" -> Oracles.minhashPairs,
+    "q_simhash_pairs" -> Oracles.simhashPairs,
+    "q_lsh_embed_pairs" -> Oracles.lshEmbedPairs
   )
 }

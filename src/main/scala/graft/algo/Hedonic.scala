@@ -33,9 +33,11 @@ import graft.io.{Checkpoint, Iterate}
   * sink of the reference's move graph (scripts/robustness/meta_graph.py).
   *
   * Oscillation control: hedonic games are potential games under unilateral
-  * moves, but simultaneous moves can cycle. Each superstep only nodes with
-  * xxhash64(id, superstep) % 2 == 0 may move — a DIFFERENT deterministic
-  * half each round, so any two nodes locked in a simultaneous-swap cycle are
+  * moves, but simultaneous moves can cycle. Each superstep only nodes passing
+  * the portable parity gate (graft.util.Portable.parityGate — md5-derived so
+  * the DuckDB oracle replicates full gated runs, see q_hedonic_full) may
+  * move — a DIFFERENT deterministic half each round, so any two nodes locked
+  * in a simultaneous-swap cycle are
   * eventually separated and the survivor's move is unilateral = strictly
   * potential-increasing (fixed id-parity classes were observed to oscillate
   * forever on multi-label inits: the same adjacent pair stays co-gated every
@@ -253,7 +255,7 @@ object Hedonic {
     while (!converged && superstep < cfg.maxSupersteps) {
       val t0 = System.nanoTime()
       val gate =
-        if (cfg.parityGating) pmod(xxhash64(col("id"), lit(superstep)), lit(2)) === lit(0)
+        if (cfg.parityGating) graft.util.Portable.parityGate(col("id"), superstep)
         else lit(true)
       // `cut` gates the DURABLE parquet snapshot cadence only (resume
       // granularity, Checkpoint's `every`); the per-superstep lineage/stats

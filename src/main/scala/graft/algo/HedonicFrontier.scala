@@ -62,7 +62,7 @@ object HedonicFrontier {
         .withColumn("payoff",
           col("friends") * (1.0 - a) - col("strangers") * a)
       val gate =
-        if (cfg.parityGating) pmod(xxhash64(col("id"), lit(superstep)), lit(2)) === lit(0)
+        if (cfg.parityGating) graft.util.Portable.parityGate(col("id"), superstep)
         else lit(true)
       // ONE materialization of the whole gather->argmax chain per superstep;
       // movers / gated stragglers / membership update / new frontier all

@@ -16,9 +16,10 @@ import graft.io.Iterate
   * SMALLEST label — deterministic (documented divergence, SURVEY.md §7.4.2).
   *
   * Oscillation: synchronous LPA two-colors bipartite-ish graphs. Standard
-  * fix applied: hash-parity gating — only nodes with xxhash64(id) parity ==
-  * superstep parity may change. Convergence = a superstep where no node
-  * (gated or not) would change.
+  * fix applied: hash-parity gating — only nodes passing the portable md5
+  * parity gate (graft.util.Portable.parityGate; DuckDB-replicable, so
+  * q_lpa_full is oracled end to end) may change each round. Convergence = a
+  * superstep where no node (gated or not) would change.
   *
   * Cost model: ONE job per iteration — the new labels are pinned while the
   * would-change counter rides the materialization pass as an accumulator
@@ -60,7 +61,7 @@ object LabelPropagation {
     while (!done && iter < maxIter) {
       val stepped = step(sym, labels, weighted)
       val gate =
-        if (parityGating) pmod(xxhash64(col("id"), lit(iter)), lit(2)) === lit(0)
+        if (parityGating) graft.util.Portable.parityGate(col("id"), iter)
         else lit(true)
       val next = stepped
         .select(col("id"),

@@ -87,12 +87,15 @@ object Dedup {
 
   /** MinHash signatures: numHashes independent min-aggregates over the
     * exploded shingle table — one shuffle (groupBy id), partial aggregation
-    * map-side. Hash family: xxhash64(shingle, seed=i). */
+    * map-side. Hash family: md5('mh:'+shingle+':'+i) kept as the 32-char hex
+    * string; lexicographic min over fixed-width hex == numeric min, and the
+    * family is PORTABLE — the DuckDB oracle (q_minhash_pairs) recomputes the
+    * identical signatures (graft.util.Portable). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, n: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+      min(md5(graft.util.Portable.key(lit("mh"), col("sh"), lit(i)))).as(s"h$i"))
     val sig = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
     sig.select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -107,9 +110,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignatures(docs, numHashes, n, idCol, textCol).persist()
+    // bucket key = md5 of the comma-joined band slice (hex strings already);
+    // DuckDB mirror: md5(h_i || ',' || h_{i+1} || ...).
     val bandHashes = array((0 until bands).map(b =>
-      xxhash64(concat_ws(",",
-        slice(col("sig"), b * r + 1, r).cast("array<string>")), lit(b))): _*)
+      md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*)
     // ids ONLY ride through the band join + distinct; the 64-long
     // signature arrays re-join afterwards (round-1 shuffled them through).
     val banded = sig.select(col("id"), posexplode(bandHashes))
@@ -133,14 +137,21 @@ object Dedup {
 
   /** 64-bit SimHash over tokens: sum +/-1 per bit of each token hash, take
     * signs. Entirely a per-row fold (aggregate + zip_with) — zero shuffle,
-    * whole-stage codegen'd, so it runs at scan speed over 100 TB. */
+    * whole-stage codegen'd, so it runs at scan speed over 100 TB.
+    *
+    * Token hash bits come from md5 hex nibbles (bit k = nibble k/4 >> (k%4)
+    * & 1) so the DuckDB oracle (q_simhash_pairs) recomputes identical
+    * simhashes — graft.util.Portable discipline. Subexpression elimination
+    * evaluates the md5 once per token. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val zeros = array((0 until 64).map(_ => lit(0L)): _*)
     def bitVec(t: Column): Column = {
-      val h = xxhash64(t)
-      array((0 until 64).map(k =>
-        when(shiftright(h, k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*)
+      val h = md5(graft.util.Portable.key(lit("sb"), t))
+      array((0 until 64).map { k =>
+        val nib = graft.util.Portable.nibble(h, lit(k / 4))
+        when(shiftright(nib, k % 4).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+      }: _*)
     }
     val sums = aggregate(TextOps.tokens(col(textCol)), zeros,
       (acc, t) => zip_with(acc, bitVec(t), (a, b) => a + b))

@@ -50,19 +50,23 @@ object Similarity {
       .select(col("ida"), col("idb"), round(col("craw"), 6).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: ~U(-1,1) from a
-    * seeded hash of (plane, dim). */
+  /** Deterministic pseudo-random hyperplane component: ~U(-1,1) from the
+    * portable md5 hash of (plane, dim, seed) — DuckDB-replicable
+    * (q_lsh_embed_pairs oracle), see graft.util.Portable. */
   private def planeComponent(plane: Column, dim: Column, seed: Long): Column =
-    (pmod(xxhash64(plane, dim, lit(seed)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0
+    graft.util.Portable.uniformSym(
+      graft.util.Portable.key(lit("pl"), plane, dim, lit(seed)))
 
   /** Per-plane sign bits (0/1) under `numPlanes` seeded hyperplanes, as an
     * array<long> — kept unpacked so any band width can be sliced out
     * without 64-bit sign-bit overflow. */
   def hyperplaneSigns(vecCol: Column, numPlanes: Int = 64, seed: Long = 7L): Column = {
     val v = asDouble(vecCol)
+    // the dim index stays INTEGRAL: Portable.key renders it '3', matching
+    // the DuckDB mirror ('3', not '3.0' as a double-cast index would).
     transform(sequence(lit(0), lit(numPlanes - 1)), p => {
       val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1).cast("array<double>"),
+        zip_with(v, sequence(lit(0), size(v) - 1),
           (x, i) => x * planeComponent(p, i, seed)),
         lit(0.0), (s, x) => s + x)
       when(dot >= 0, 1L).otherwise(0L)
