@@ -683,22 +683,29 @@ object Oracles {
     SELECT id, label FROM lb$k"""
   }
 
-  /** Banded MinHash near-dup pairs (mirrors Dedup.minhashPairs: 64 portable
-    * md5 permutations over the UNCAPPED distinct-shingle table, 16 bands of
-    * 4, bucket = md5 of the comma-joined band slice, estimate = agreeing
-    * components / 64). */
+  /** Banded MinHash near-dup pairs (mirrors Dedup.minhashPairs: ONE portable
+    * md5 per shingle over the UNCAPPED distinct-shingle table, h1/h2 from
+    * hex substrings, 64 Kirsch-Mitzenmacher permutations
+    * (h1 + i*h2) mod 2^40, 16 bands of 4, bucket = md5 of the comma-joined
+    * band slice, estimate = agreeing components / 64). */
   val minhashPairs: String = {
     val n = 64; val bands = 16; val r = 4; val thr = 0.35
+    val m = 1L << 40
     val sigCols = (0 until n).map(i =>
-      s"min(md5('mh:' || sh || ':' || $i)) AS h$i").mkString(",\n        ")
+      s"min((h1 + $i * h2) % $m) AS h$i").mkString(",\n        ")
     val bandSel = (0 until bands).map { b =>
-      val parts = (0 until r).map(j => s"h${b * r + j}").mkString(" || ',' || ")
+      val parts = (0 until r).map(j => s"h${b * r + j}::VARCHAR").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($parts) AS bucket FROM sigs"
     }.mkString("\n      UNION ALL ")
     val agree = (0 until n).map(i =>
       s"CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $shingleBase,
-    sigs AS (SELECT doc_id, $sigCols FROM sh0 GROUP BY doc_id),
+    shh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('mh:' || sh), 1, 10))::BIGINT AS h1,
+             ('0x' || substr(md5('mh:' || sh), 11, 10))::BIGINT AS h2
+      FROM sh0),
+    sigs AS (SELECT doc_id, $sigCols FROM shh GROUP BY doc_id),
     bnd AS ($bandSel),
     cand AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
@@ -780,4 +787,59 @@ object Oracles {
       FROM cand JOIN emb x ON ida = x.vec_id JOIN emb y ON idb = y.vec_id)
     SELECT ida, idb, round(craw, 6) AS cos FROM ver WHERE craw >= 0.4"""
   }
+
+  /** M11 one reciprocal-invitation round from singletons on the THIN graph
+    * (mirrors Reciprocity.mutualPairs weighted): each node invites the
+    * neighbor community with max weighted friends (own wins ties, then
+    * smallest label); output = distinct community pairs with a mutual
+    * invitation across some edge. */
+  val reciprocity1: String = s"""WITH $thinCtes,
+    msr AS (SELECT id, id AS community FROM verts),
+    candr AS (
+      SELECT id, community, sum(w) AS friends FROM (
+        SELECT s.src AS id, m.community, s.weight AS w FROM symw s JOIN msr m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0.0 AS w FROM msr
+      ) GROUP BY id, community),
+    rkr AS (
+      SELECT c.id, c.community,
+             row_number() OVER (PARTITION BY c.id
+               ORDER BY c.friends DESC, (c.community = m.community) DESC, c.community ASC) AS rn
+      FROM candr c JOIN msr m ON c.id = m.id),
+    prefr AS (SELECT id, community AS pref FROM rkr WHERE rn = 1)
+    SELECT DISTINCT least(mu.community, mv.community) AS ca,
+                    greatest(mu.community, mv.community) AS cb
+    FROM sym s
+    JOIN prefr pu ON s.src = pu.id
+    JOIN prefr pv ON s.dst = pv.id
+    JOIN msr mu ON s.src = mu.id
+    JOIN msr mv ON s.dst = mv.id
+    WHERE pu.pref = mv.community AND pv.pref = mu.community
+      AND mu.community <> mv.community"""
+
+  /** F3 resolution thresholds (mirrors Reciprocity.resolutionThresholds on
+    * the THIN graph under m0): per node and candidate-community pair a < b,
+    * (friends_a - friends_b) / (strangers_a + strangers_b), NULL on zero
+    * denominator (Spark try_divide; DuckDB would return inf). */
+  val resThreshold: String = s"""WITH $thinCtes,
+    cand AS (
+      SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
+        SELECT s.src AS id, m.community, 1 AS friends FROM sym s JOIN m0 m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0 AS friends FROM m0
+      ) GROUP BY id, community),
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM m0 GROUP BY community),
+    str AS (
+      SELECT c.id, c.community, c.friends,
+             CAST(s.csize - c.friends -
+               (CASE WHEN c.community = m.community THEN 1 ELSE 0 END) AS BIGINT) AS strangers
+      FROM cand c JOIN sizes s ON c.community = s.community JOIN m0 m ON c.id = m.id)
+    SELECT a.id, a.community AS ca, b.community AS cb,
+           a.friends AS fa, b.friends AS fb,
+           a.strangers AS sa, b.strangers AS sb,
+           round(CASE WHEN a.strangers + b.strangers = 0 THEN NULL
+                      ELSE CAST(a.friends - b.friends AS DOUBLE) /
+                           CAST(a.strangers + b.strangers AS DOUBLE)
+                 END, 6) AS threshold
+    FROM str a JOIN str b ON a.id = b.id AND a.community < b.community"""
 }

@@ -346,6 +346,24 @@ object SparkEntry {
     // --------------------------- weighted-graph ops (oracled) — the
     // engine's mandated co-occurrence graph is weighted (shared paths);
     // these pin the weighted gather/vote/rank math.
+    // M11 one reciprocal-invitation round from singletons on the thin
+    // graph: community pairs that mutually invite each other (weighted
+    // invitations; oracled — the full fixpoint is covered by ReciprocitySpec).
+    "q_reciprocity1" -> ((s, dir) => {
+      val e = graphThin(s, dir)
+      val sym = GraphOps.symmetrize(e).select("src", "dst", "weight")
+      val singles = GraphOps.vertices(e).select(col("id"), col("id").as("community"))
+      graft.algo.Reciprocity.mutualPairs(sym, singles, weighted = true)
+    }),
+
+    // F3 resolution thresholds per (node, candidate-community pair) under
+    // m0 on the thin graph (null when the flip is size-independent).
+    "q_res_threshold" -> ((s, dir) => {
+      val e = graphThin(s, dir)
+      val sym = GraphOps.symmetrize(e).select("src", "dst")
+      graft.algo.Reciprocity.resolutionThresholds(sym, m0(e))
+    }),
+
     "q_wdegrees" -> ((s, dir) => GraphOps.strengths(graph(s, dir))),
 
     "q_wlpa1" -> ((s, dir) => {
@@ -434,6 +452,8 @@ object SparkEntry {
     "q_lpa_full" -> Oracles.lpaFull(20),
     "q_minhash_pairs" -> Oracles.minhashPairs,
     "q_simhash_pairs" -> Oracles.simhashPairs,
-    "q_lsh_embed_pairs" -> Oracles.lshEmbedPairs
+    "q_lsh_embed_pairs" -> Oracles.lshEmbedPairs,
+    "q_reciprocity1" -> Oracles.reciprocity1,
+    "q_res_threshold" -> Oracles.resThreshold
   )
 }

@@ -66,7 +66,10 @@ object Dedup {
     val sh0 = shingleTable(docs, idCol, textCol, n)
     val kept = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDF).select("sh")
-    val sh = sh0.join(kept, Seq("sh"))
+    // persisted: consumed by the sizes aggregate AND both sides of the
+    // candidate self-join — unpinned, the tokenize+shingle+cap pipeline
+    // re-ran three times (a full corpus re-scan each, at 100 TB).
+    val sh = sh0.join(kept, Seq("sh")).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("sh"), col("id").as("ida"))
       .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
@@ -87,15 +90,26 @@ object Dedup {
 
   /** MinHash signatures: numHashes independent min-aggregates over the
     * exploded shingle table — one shuffle (groupBy id), partial aggregation
-    * map-side. Hash family: md5('mh:'+shingle+':'+i) kept as the 32-char hex
-    * string; lexicographic min over fixed-width hex == numeric min, and the
-    * family is PORTABLE — the DuckDB oracle (q_minhash_pairs) recomputes the
-    * identical signatures (graft.util.Portable). */
+    * map-side. Hash family: ONE portable md5 per shingle, split into two
+    * hex-derived 40-bit integers h1/h2, expanded to 64 permutations by
+    * Kirsch-Mitzenmacher double hashing h_i = (h1 + i*h2) mod 2^40 —
+    * overflow-safe under ANSI mode (h1 + 63*h2 < 2^47) and DuckDB-replicable
+    * from the same hex substrings (q_minhash_pairs oracle). h2 MUST span the
+    * full modulus: a narrower h2 makes h_i monotone in i, so one shingle
+    * dominates runs of consecutive permutations and the minima correlate
+    * (measured 12/64 agreement on ~0.78-Jaccard docs before widening).
+    * h1/h2 are materialized in a codegen'd projection so md5 runs exactly
+    * once per shingle row (64 in-aggregate md5 calls cost 45 s at sf0.1). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 64, n: Int = 3,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = md5(graft.util.Portable.key(lit("mh"), col("sh")))
     val sh = shingleTable(docs, idCol, textCol, n)
+      .select(col("id"),
+        conv(substring(h, 1, 10), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 11, 10), 16, 10).cast("long").as("h2"))
+    val m = 1L << 40
     val aggs = (0 until numHashes).map(i =>
-      min(md5(graft.util.Portable.key(lit("mh"), col("sh"), lit(i)))).as(s"h$i"))
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(m))).as(s"h$i"))
     val sig = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
     sig.select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -110,10 +124,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignatures(docs, numHashes, n, idCol, textCol).persist()
-    // bucket key = md5 of the comma-joined band slice (hex strings already);
-    // DuckDB mirror: md5(h_i || ',' || h_{i+1} || ...).
+    // bucket key = md5 of the comma-joined band slice;
+    // DuckDB mirror: md5(h_i::VARCHAR || ',' || h_{i+1}::VARCHAR || ...).
     val bandHashes = array((0 until bands).map(b =>
-      md5(concat_ws(",", slice(col("sig"), b * r + 1, r)))): _*)
+      md5(concat_ws(",", slice(col("sig"), b * r + 1, r).cast("array<string>")))): _*)
     // ids ONLY ride through the band join + distinct; the 64-long
     // signature arrays re-join afterwards (round-1 shuffled them through).
     val banded = sig.select(col("id"), posexplode(bandHashes))
@@ -141,20 +155,27 @@ object Dedup {
     *
     * Token hash bits come from md5 hex nibbles (bit k = nibble k/4 >> (k%4)
     * & 1) so the DuckDB oracle (q_simhash_pairs) recomputes identical
-    * simhashes — graft.util.Portable discipline. Subexpression elimination
-    * evaluates the md5 once per token. */
+    * simhashes — graft.util.Portable discipline. Staged so md5 runs exactly
+    * ONCE per token: higher-order-function lambdas are interpreted (no
+    * codegen, no subexpression elimination), so referencing md5(t) per
+    * nibble would re-digest the token 16-64x (measured 30 s at sf0.1). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val zeros = array((0 until 64).map(_ => lit(0L)): _*)
-    def bitVec(t: Column): Column = {
-      val h = md5(graft.util.Portable.key(lit("sb"), t))
+    // stage 1: one md5 hex per token; stage 2: 16 nibble ints per hex;
+    // stage 3: fold +/-1 bit contributions into the 64 sums.
+    val hexes = transform(TextOps.tokens(col(textCol)),
+      t => md5(concat(lit("sb:"), t)))
+    val nibArrs = transform(hexes,
+      h => array((0 until 16).map(j =>
+        graft.util.Portable.nibble(h, lit(j))): _*))
+    def bitVec(nibs: Column): Column =
       array((0 until 64).map { k =>
-        val nib = graft.util.Portable.nibble(h, lit(k / 4))
-        when(shiftright(nib, k % 4).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        when(shiftright(element_at(nibs, k / 4 + 1), k % 4).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)
       }: _*)
-    }
-    val sums = aggregate(TextOps.tokens(col(textCol)), zeros,
-      (acc, t) => zip_with(acc, bitVec(t), (a, b) => a + b))
+    val sums = aggregate(nibArrs, zeros,
+      (acc, nibs) => zip_with(acc, bitVec(nibs), (a, b) => a + b))
     // Compose the 64-bit value with shift+OR (never overflows, unlike
     // acc*2+bit which trips ANSI overflow on the sign bit).
     val packed = (0 until 64).map(k =>

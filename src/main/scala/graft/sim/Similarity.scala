@@ -51,26 +51,34 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: ~U(-1,1) from the
-    * portable md5 hash of (plane, dim, seed) — DuckDB-replicable
-    * (q_lsh_embed_pairs oracle), see graft.util.Portable. */
-  private def planeComponent(plane: Column, dim: Column, seed: Long): Column =
-    graft.util.Portable.uniformSym(
-      graft.util.Portable.key(lit("pl"), plane, dim, lit(seed)))
+    * portable md5 hash of 'pl:<plane>:<dim>:<seed>' — DuckDB-replicable
+    * (q_lsh_embed_pairs oracle; mirror documented in graft.util.Portable).
+    * Computed DRIVER-SIDE: the plane matrix is data-independent, so the
+    * numPlanes x dim components are folded into literal arrays instead of
+    * per-row md5 calls — higher-order-function lambdas run interpreted (no
+    * codegen), and 64 planes x 64 dims of in-lambda md5 measured 50 ms/row
+    * at sf0.1 before this hoist. */
+  private[graft] def planeValue(plane: Int, dim: Int, seed: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"pl:$plane:$dim:$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val u32 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    ((u32 % 2000001L) - 1000000L).toDouble / 1000000.0
+  }
 
   /** Per-plane sign bits (0/1) under `numPlanes` seeded hyperplanes, as an
     * array<long> — kept unpacked so any band width can be sliced out
-    * without 64-bit sign-bit overflow. */
-  def hyperplaneSigns(vecCol: Column, numPlanes: Int = 64, seed: Long = 7L): Column = {
+    * without 64-bit sign-bit overflow. `dim` is the (uniform) embedding
+    * length; rows shorter than `dim` would null their dot products. */
+  def hyperplaneSigns(vecCol: Column, numPlanes: Int = 64, seed: Long = 7L,
+                      dim: Int = 64): Column = {
     val v = asDouble(vecCol)
-    // the dim index stays INTEGRAL: Portable.key renders it '3', matching
-    // the DuckDB mirror ('3', not '3.0' as a double-cast index would).
-    transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i, seed)),
+    array((0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeValue(p, d, seed))): _*)
+      val dot = aggregate(zip_with(v, plane, (x, c) => x * c),
         lit(0.0), (s, x) => s + x)
       when(dot >= 0, 1L).otherwise(0L)
-    })
+    }: _*)
   }
 
   /** Band keys from the sign array: bands x (numPlanes/bands)-bit integers. */
@@ -90,8 +98,11 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(numPlanes % bands == 0)
     val base = vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).persist()
+    // one tiny job to learn the (uniform) embedding dimension, so the plane
+    // matrix literals match the data
+    val dim = base.select(max(size(col("v")))).head().getInt(0)
     val keyed = base.select(col("id"),
-      bandKeysCol(hyperplaneSigns(col("v"), numPlanes, seed), numPlanes, bands).as("keys"))
+      bandKeysCol(hyperplaneSigns(col("v"), numPlanes, seed, dim), numPlanes, bands).as("keys"))
     val banded = keyed.select(col("id"), posexplode(col("keys")))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val cands = banded.select(col("band"), col("bucket"), col("id").as("ida"))
