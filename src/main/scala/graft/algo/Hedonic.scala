@@ -237,8 +237,10 @@ object Hedonic {
       cfg: Config = Config()): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
     val a = cfg.alpha.getOrElse(GraphOps.density(edges))
-    val sym = GraphOps.symmetrize(edges).select("src", "dst").persist()
-    val edgeCount = sym.count() // also materializes the persist
+    // cached pre-partitioned on dst (the gather join key): the edge side
+    // never re-exchanges inside the superstep loop — only members shuffle.
+    val sym = GraphOps.pinnedSym(edges, "dst")
+    val edgeCount = sym.count()
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, cfg.checkpointEvery))
 
     // Resume from the latest durable snapshot when a checkpoint dir is reused.

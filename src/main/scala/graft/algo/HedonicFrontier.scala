@@ -31,7 +31,10 @@ object HedonicFrontier {
   def run(edges: Dataset[Edge], init: DataFrame,
           cfg: Hedonic.Config = Hedonic.Config()): (DataFrame, Seq[RunMetrics]) = {
     val a = cfg.alpha.getOrElse(GraphOps.density(edges))
-    val sym = GraphOps.symmetrize(edges).select("src", "dst").persist()
+    // cached pre-partitioned on src: the per-superstep frontier semi-join
+    // (on src) reuses the cached layout; only the frontier side shuffles,
+    // and the dst-side gather join then exchanges just the ACTIVE slice.
+    val sym = GraphOps.pinnedSym(edges, "src")
     val edgeCount = sym.count()
 
     var members = init.select("id", "community").transform(graft.io.Iterate.pin)

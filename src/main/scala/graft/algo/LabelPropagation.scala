@@ -48,9 +48,9 @@ object LabelPropagation {
   def run(edges: Dataset[Edge], initOpt: Option[DataFrame] = None,
           maxIter: Int = 30, parityGating: Boolean = true,
           weighted: Boolean = false): DataFrame = {
-    val symCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
-    val sym = GraphOps.symmetrize(edges).select(symCols.map(col): _*).persist()
-    sym.count()
+    // cached pre-partitioned on dst (the gather join key): the edge side
+    // never re-exchanges inside the loop — only labels shuffle per round.
+    val sym = GraphOps.pinnedSym(edges, "dst", weighted)
     var labels = initOpt
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))

@@ -42,9 +42,9 @@ object PageRank {
 
   def run(edges: Dataset[Edge], cfg: Config = Config(),
           verticesOpt: Option[DataFrame] = None): DataFrame = {
-    val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
-    val sym = GraphOps.symmetrize(edges).select(symCols.map(col): _*).persist()
-    sym.count()
+    // cached pre-partitioned on src (the per-iteration join key): the edge
+    // side never re-exchanges inside the loop — only ranks shuffle.
+    val sym = GraphOps.pinnedSym(edges, "src", cfg.weighted)
     val verts = verticesOpt.getOrElse(GraphOps.vertices(edges)).select("id").persist()
     val v = verts.count().toDouble
     // outdeg / out-strength per vertex.
