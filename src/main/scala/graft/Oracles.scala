@@ -842,4 +842,43 @@ object Oracles {
                            CAST(a.strangers + b.strangers AS DOUBLE)
                  END, 6) AS threshold
     FROM str a JOIN str b ON a.id = b.id AND a.community < b.community"""
+
+  /** M9 spectral: `k` fixed shifted power-iteration steps of the modularity
+    * matrix B = A - d d^T/2m on the THIN graph as one community (mirrors
+    * Spectral.wholeGraphVector: md5-seeded start vector, sigma = 3*dmax+1,
+    * each level divides the linear form by the previous iterate's norm).
+    * diag_i = kin_i - d_i*Dg/2m is exactly 0 for the whole graph (kin = deg,
+    * Dg = 2m, and deg*2m/2m is exact); the term is kept for structural
+    * identity with the Spark expression. */
+  def spectral1(k: Int): String = {
+    def level(i: Int): String = {
+      val prev = s"x${i - 1}"
+      s"""
+    sc$i AS (
+      SELECT sum(d.deg * x.x) AS s1, sqrt(sum(x.x * x.x)) AS nrm
+      FROM $prev x JOIN deg d ON x.id = d.id),
+    g$i AS (
+      SELECT e.src AS id, sum(x.x) AS y
+      FROM sym e JOIN $prev x ON e.dst = x.id GROUP BY e.src),
+    x$i AS (
+      SELECT d.id,
+             ((coalesce(g.y, 0.0) - d.deg / (SELECT m2 FROM mm) * (SELECT s1 FROM sc$i)
+               - x.x * di.diag) + (SELECT sigma FROM mm) * x.x) /
+             (CASE WHEN (SELECT nrm FROM sc$i) > 0 THEN (SELECT nrm FROM sc$i) ELSE 1.0 END) AS x
+      FROM deg d JOIN $prev x ON d.id = x.id JOIN dia di ON d.id = di.id
+      LEFT JOIN g$i g ON d.id = g.id)"""
+    }
+    s"""WITH $thinCtes,
+    deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY src),
+    mm AS (SELECT sum(deg) AS m2, 3 * max(deg) + 1 AS sigma FROM deg),
+    dia AS (SELECT d.id,
+                   d.deg - d.deg * (SELECT sum(deg) FROM deg) / (SELECT m2 FROM mm) AS diag
+            FROM deg d),
+    x0 AS (SELECT id,
+                  ((('0x' || substr(md5('sp:' || id), 1, 8))::BIGINT % 2000001) - 1000000)
+                    / 1000000.0 AS x
+           FROM verts),
+    ${(1 to k).map(level).mkString(",\n")}
+    SELECT id, round(x, 5) AS x FROM x$k"""
+  }
 }

@@ -256,6 +256,17 @@ object SparkEntry {
     // sf0.01) — oracled as exactly 20 replayed gated levels.
     "q_lpa_full" -> ((s, dir) => LabelPropagation.run(graphThin(s, dir), maxIter = 20)),
 
+    // M9 spectral (leading-eigenvector) core: 20 fixed shifted power-
+    // iteration steps of the modularity matrix on the thin graph, md5-seeded
+    // start vector — oracled as 20 replayed DuckDB CTE levels. The full
+    // recursive subdivision (data-dependent split acceptance) is covered by
+    // SpectralSpec.
+    "q_spectral1" -> ((s, dir) => {
+      val e = graphThin(s, dir)
+      graft.algo.Spectral.wholeGraphVector(e, iters = 20)
+        .select(col("id"), round(col("x"), 5).as("x"))
+    }),
+
     "q_spectrum" -> ((s, dir) => {
       val e = graph(s, dir)
       Metrics.resolutionSpectrum(e, m0(e), (0 to 10).map(_ / 10.0))
@@ -454,6 +465,7 @@ object SparkEntry {
     "q_simhash_pairs" -> Oracles.simhashPairs,
     "q_lsh_embed_pairs" -> Oracles.lshEmbedPairs,
     "q_reciprocity1" -> Oracles.reciprocity1,
+    "q_spectral1" -> Oracles.spectral1(20),
     "q_res_threshold" -> Oracles.resThreshold
   )
 }

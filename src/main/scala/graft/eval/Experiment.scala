@@ -3,7 +3,7 @@ package graft.eval
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Edge
-import graft.algo.{Hedonic, HedonicFrontier, LabelPropagation, Leiden}
+import graft.algo.{Hedonic, HedonicFrontier, LabelPropagation, Leiden, Spectral}
 import graft.ingest.GraphGen
 
 /** Experiment driver — the reference's top-level entry point
@@ -67,6 +67,10 @@ object Experiment {
       LabelPropagation.run(e,
           Some(init.select(col("id"), col("community").as("label"))))
         .select(col("id"), col("label").as("community"))),
+    "Spectral" -> ((e, init) => { // M9: leading-eigenvector, k = |init communities|
+      val k = init.select("community").distinct().count().toInt.max(2)
+      Spectral.run(e, Spectral.Config(clusters = k))
+    }),
     "Mirror" -> ((e, init) => init), // M6-style identity baseline
     "Singleton" -> ((e, _) => // M5 constant/trivial baseline
       graft.graph.GraphOps.vertices(e).select(col("id"), col("id").as("community"))))
