@@ -843,6 +843,38 @@ object Oracles {
                  END, 6) AS threshold
     FROM str a JOIN str b ON a.id = b.id AND a.community < b.community"""
 
+  /** IVF ANN top-k (mirrors Similarity.ivfTopK, nCells=8, nProbe=2, k=3,
+    * queries = vec_id < 5): centroids are the 8 vectors with the smallest
+    * portable md5 sample key; every vector lives in its nearest centroid's
+    * cell (tie: smaller centroid id); queries probe their 2 nearest cells
+    * and re-rank exactly inside them. */
+  val ivfTopK: String = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM emb
+      ORDER BY ('0x' || substr(md5('ivf:' || vec_id), 1, 8))::BIGINT ASC, vec_id ASC
+      LIMIT 8),
+    asgn AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS craw,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+      FROM emb e CROSS JOIN cent c),
+    corp AS (SELECT vec_id AS nid, cid AS cell FROM asgn WHERE rn = 1),
+    qry AS (SELECT vec_id AS qid, cid AS cell FROM asgn
+            WHERE vec_id < 5 AND rn <= 2),
+    scored AS (
+      SELECT q.qid, c.nid,
+             list_cosine_similarity(x.v, y.v) AS cos
+      FROM qry q JOIN corp c ON q.cell = c.cell AND c.nid <> q.qid
+      JOIN emb x ON q.qid = x.vec_id JOIN emb y ON c.nid = y.vec_id),
+    ranked AS (
+      SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+      FROM scored)
+    SELECT qid, nid, round(cos, 6) AS cos, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3"""
+
   /** M9 spectral: `k` fixed shifted power-iteration steps of the modularity
     * matrix B = A - d d^T/2m on the THIN graph as one community (mirrors
     * Spectral.wholeGraphVector: md5-seeded start vector, sigma = 3*dmax+1,

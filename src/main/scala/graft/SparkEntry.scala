@@ -320,6 +320,14 @@ object SparkEntry {
     // corpus (recall pinned by property tests; not SQL-expressible).
     "q_lsh_embed_pairs" -> ((s, dir) => Similarity.lshPairs(embs(s, dir), 0.4)),
 
+    // IVF coarse-quantizer ANN (the second scale path besides LSH):
+    // deterministic sampled centroids, 2-probe exact re-rank — oracled.
+    "q_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), k = 3,
+        nCells = 8, nProbe = 2)
+    }),
+
     // --------------------------- sparse order-graph ops (oracled)
     "q_cc_sparse" -> ((s, dir) => ConnectedComponents.run(graphSparse(s, dir))),
 
@@ -442,6 +450,7 @@ object SparkEntry {
       FROM toks""",
     "q_embed_pairs" -> Oracles.embedPairs,
     "q_ann_topk" -> Oracles.annTopK,
+    "q_ivf_topk" -> Oracles.ivfTopK,
     "q_events_window" -> Oracles.eventsWindow,
     // round-2 additions
     "q_pagerank_full" -> Oracles.pagerank(20),

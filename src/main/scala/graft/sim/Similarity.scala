@@ -118,6 +118,67 @@ object Similarity {
       .select(col("ida"), col("idb"), round(col("craw"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic coarse quantizer for the IVF index: the `nCells` corpus
+    * vectors with the smallest portable md5 sample key become the
+    * centroids (a seeded sample, not Lloyd iterations — deterministic and
+    * DuckDB-replayable; k-means would sharpen cell balance but make the
+    * index unverifiable by the SQL oracle). TakeOrdered top-k, not a
+    * global sort. */
+  private[graft] def ivfCentroids(base: DataFrame, nCells: Int): DataFrame =
+    base.withColumn("sk", graft.util.Portable.u32(
+        graft.util.Portable.key(lit("ivf"), col("id"))))
+      .orderBy(asc("sk"), asc("id"))
+      .limit(nCells)
+      .select(col("id").as("cid"), col("v").as("cv"))
+
+  /** Cell assignment: nearest centroid by cosine (tie: smaller centroid
+    * id). Shape: broadcast nested-loop against the tiny centroid table →
+    * V×nCells rows MAP-SIDE, then a partial-aggregated argmax
+    * (max(struct(cos, -cid))) — only the V-row result shuffles. Returns
+    * (id, cell). */
+  private[graft] def ivfAssign(base: DataFrame, cent: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cent))
+      .withColumn("craw", cosine(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("craw").as("c"), (-col("cid")).as("negc"))).as("b"))
+      .select(col("id"), (-col("b.negc")).as("cell"))
+
+  /** IVF approximate top-k — the coarse-quantizer scale path next to
+    * `lshPairs`: corpus vectors live in exactly one inverted cell; each
+    * query probes its `nProbe` nearest cells and re-ranks exactly inside
+    * them. The candidate join is an equi-join on `cell` (E[candidates] ≈
+    * V·nProbe/nCells per query), never all-pairs. Caveat documented:
+    * sampled centroids give uneven cells on clustered corpora — raise
+    * `nCells` (cheap: assignment is map-side) rather than adding Lloyd
+    * rounds. Output (qid, nid, cos, rk), tie-breaks as `topK`. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 8, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")).persist()
+    val cent = ivfCentroids(base, nCells).persist()
+    val corpusCells = ivfAssign(base, cent)
+      .join(base, Seq("id"))
+      .select(col("id").as("nid"), col("cell"), col("v").as("nv"))
+    // queries are broadcast-small: a window rank over nCells rows per query
+    // picks the probed cells.
+    val qScored = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("craw", cosine(col("qv"), col("cv")))
+    val probeW = Window.partitionBy(col("qid")).orderBy(desc("craw"), asc("cid"))
+    val qCells = qScored.withColumn("pn", row_number().over(probeW))
+      .filter(col("pn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val scored = qCells.join(corpusCells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries are broadcast. Deterministic
     * tie-break: higher cosine, then smaller neighbor id. */

@@ -129,4 +129,52 @@ class BlockingSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
+
+  // ------------------------------------------------- IVF ANN
+
+  test("ivfTopK: results are sound, self-free, and ranked like topK within probed cells") {
+    val vecs = vecCorpus(20, 16, 5L)
+    val queries = vecs.filter(col("vec_id") < 6)
+    val res = Similarity.ivfTopK(vecs, queries, k = 3, nCells = 4, nProbe = 2).collect()
+    // shape: no self matches, rk in 1..3, at most 3 per query
+    assert(res.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(res.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      // ranks are dense and ordered by descending cosine
+      assert(rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq ==
+        rows.map(_.getDouble(2)).toSeq.sorted.reverse)
+    }
+  }
+
+  test("ivfTopK finds each near-duplicate twin when probing most cells") {
+    // twins have cos ~0.999: with nProbe close to nCells the probed cells
+    // must contain the twin, so it ranks first.
+    val vecs = vecCorpus(15, 16, 9L)
+    val queries = vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+    val res = Similarity.ivfTopK(vecs, queries, k = 1, nCells = 4, nProbe = 4).collect()
+    val top1 = res.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top1.foreach { case (q, n) => assert(n == q + 1, s"query $q top-1 was $n") }
+  }
+
+  test("ivfTopK recall vs brute force is high at full probe depth") {
+    val vecs = vecCorpus(12, 16, 13L)
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.topK(vecs, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 3, nCells = 3, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full probe depth = exhaustive: IVF must equal brute force exactly
+    assert(ivf == exact)
+  }
+
+  test("every corpus vector lands in exactly one IVF cell") {
+    val vecs = vecCorpus(10, 8, 21L)
+    val base = vecs.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cent = Similarity.ivfCentroids(base, 4)
+    val asgn = Similarity.ivfAssign(base, cent)
+    assert(asgn.count() === 20)
+    assert(asgn.select("id").distinct().count() === 20)
+  }
 }
