@@ -58,7 +58,17 @@ object ScalingBench {
     val nFiles = check.getLong(0)
     require(check.getLong(1) == 0, "sha256 invariant violated")
     val (_, edgesDs) = EdgeExtraction.extract(files, dense = false)
-    val edges = edgesDs.persist()
+    // PIN (localCheckpoint), not a plain persist: a persist keeps the whole
+    // extraction lineage referenced, so its self-join shuffle files (tens
+    // of GB at 5000 blocks) cannot be cleaned until the JVM exits — the
+    // superstep phase then competes with dozens of dead shuffle GB for
+    // disk. Pinning truncates the lineage; with
+    // spark.cleaner.periodicGC.interval the extraction shuffles are
+    // reclaimed before the first superstep. Same policy a 100 TB run
+    // needs: never carry the raw-extraction shuffle through the
+    // iterative phase.
+    val spark2 = spark; import spark2.implicits._
+    val edges = graft.io.Iterate.pin(edgesDs.toDF()).as[graft.model.Edge]
     val edgeCount = edges.count()
     val tExtract = (System.nanoTime() - t0) / 1e9
 

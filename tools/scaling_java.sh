@@ -20,6 +20,7 @@ for CPUS in 8 32; do
   SPARK_GRAFT_CPUS=$CPUS \
     java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Dspark.network.timeout=600s \
+    -Dspark.cleaner.periodicGC.interval=2min \
     -cp "$CP" graft.ScalingBench 2>"$OUT/scaling_$CPUS.err" \
     | grep -o '{"cpus".*}' | tee "$OUT/scaling_$CPUS.json"
 done
