@@ -6,27 +6,75 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune unused projections, so map-only queries (sha256,
   * fingerprints, text stats) would clock fake-fast without ever computing
   * their columns (round-1 VERDICT #6). noop serializes every row, charging
-  * the full compute without I/O. */
+  * the full compute without I/O.
+  *
+  * Hardened after the round-2 bench died mid-run with exit 56
+  * (ExecutorExitCode.HEARTBEAT_FAILURE — local-mode executor gave up after
+  * the driver missed heartbeats for spark.executor.heartbeat.maxFailures ×
+  * interval). One slow/stuck query must never zero out the whole round's
+  * numbers, so:
+  *   - heartbeat tolerance is raised (the "executor" IS the driver JVM
+  *     here; killing it for slow heartbeats only destroys the bench);
+  *   - each query runs on its own thread inside a job group with a
+  *     watchdog: on timeout the group is cancelled and the bench moves on,
+  *     recording the timeout instead of dying;
+  *   - every persisted RDD (pins, cached adjacency) is dropped between
+  *     queries, so 50+ queries cannot accumulate block-manager pressure;
+  *   - per-query timing goes to stderr as it happens, so even a hard crash
+  *     leaves evidence of which query was running.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT", "420").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.network.timeout", "900s")
+      .config("spark.executor.heartbeat.maxFailures", "10000")
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      @volatile var err: Option[String] = None
+      val runner = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable => err = Some(e.toString.take(300)) }
+        finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      runner.setDaemon(true)
+      runner.start()
+      runner.join(timeoutSec * 1000)
+      if (runner.isAlive) {
+        err = Some(s"timeout ${timeoutSec}s")
+        spark.sparkContext.cancelJobGroup(name)
+        runner.join(30000)
+        if (runner.isAlive) { runner.interrupt(); runner.join(30000) }
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop whatever the query pinned/persisted so the next one starts clean.
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+      err.foreach { e => errors(name) = e; System.err.println(s"[bench] $name FAILED: $e") }
+      System.err.println(f"[bench] done  $name%-22s $dt%9.2f s")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,11 @@ object ScalingBench {
       // fixed, known shapes that is pure driver overhead — measurable via
       // SPARK_GRAFT_AQE=true|false.
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Reclaim dead shuffle files (the pinned extraction lineage) during
+      // the superstep phase on BOTH launch paths — tools/scaling_java.sh
+      // sets this via -D, but the sbt path (tools/scaling.sh) relies on
+      // this builder line.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -95,7 +95,8 @@ object Spectral {
     * Both paths evaluate the IDENTICAL arithmetic expression, so the DuckDB
     * oracle (Oracles.spectral1) mirrors either. */
   private def leadingVectors(sym: DataFrame, state0: DataFrame, m2: Double,
-                             sigma: Double, iters: Int, global: Boolean): DataFrame = {
+                             sigma: Double, iters: Int, global: Boolean): Iterate.Pinned = {
+    require(iters >= 1, "leadingVectors needs at least one power step")
     def withSums(df: DataFrame): DataFrame = df
       .withColumn("dx", col("deg") * col("x"))
       .withColumn("xx", col("x") * col("x"))
@@ -121,7 +122,7 @@ object Spectral {
         pinned.release()
         pinned = p2
       }
-      pinned.df.select("id", "community", "deg", "diag", "x")
+      pinned
     } else {
       var st = state0
       var prev: Option[Iterate.Pinned] = None
@@ -144,7 +145,7 @@ object Spectral {
         prev.foreach(_.release())
         prev = Some(pinned)
       }
-      st
+      prev.get
     }
   }
 
@@ -159,11 +160,13 @@ object Spectral {
       deg.agg(sum("deg"), max("deg")).collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
     val sigma = 3.0 * dmax + 1.0
     val minId = deg.agg(min("id")).collect()(0).getLong(0)
-    val state0 = Iterate.pin(
+    val state0 = Iterate.pinSums(
       phaseStat(sym, deg.select(col("id"), lit(minId).as("community")), deg, m2)
-        .withColumn("x", Portable.uniformSym(Portable.key(lit("sp"), col("id")))))
-    val out = leadingVectors(sym, state0, m2, sigma, iters, global = true).select("id", "x")
-    val pinned = Iterate.pin(out)
+        .withColumn("x", Portable.uniformSym(Portable.key(lit("sp"), col("id")))),
+      Seq.empty)
+    val vecPin = leadingVectors(sym, state0.df, m2, sigma, iters, global = true)
+    val pinned = Iterate.pin(vecPin.df.select("id", "x"))
+    vecPin.release(); state0.release()
     sym.unpersist(); deg.unpersist()
     pinned
   }
@@ -177,15 +180,24 @@ object Spectral {
     val (m2, dmax, minId) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
     val sigma = 3.0 * dmax + 1.0
 
-    var members = Iterate.pin(deg.select(col("id"), lit(minId).as("community")))
+    // Pin lifetimes (ADVICE r2): every phase's state0 pin, power-iterate
+    // result pin, and the superseded members pin are released as soon as
+    // the NEXT members frame is materialized — a grid of Experiment points
+    // otherwise accumulates one cached V-row copy per phase per point.
+    var membersPin = Iterate.pinSums(
+      deg.select(col("id"), lit(minId).as("community")), Seq.empty)
+    var members = membersPin.df
     var nComm = 1L
     var phase = 0
     var progressed = true
     while (progressed && phase < cfg.maxPhases && nComm < cfg.clusters) {
-      val state0 = Iterate.pin(
+      val state0 = Iterate.pinSums(
         phaseStat(sym, members, deg, m2)
-          .withColumn("x", Portable.uniformSym(Portable.key(lit("sp"), col("id")))))
-      val st = leadingVectors(sym, state0, m2, sigma, cfg.powerIters, global = nComm == 1L)
+          .withColumn("x", Portable.uniformSym(Portable.key(lit("sp"), col("id")))),
+        Seq.empty)
+      val stPin = leadingVectors(sym, state0.df, m2, sigma, cfg.powerIters,
+        global = nComm == 1L)
+      val st = stPin.df
         .withColumn("s", when(col("x") >= 0.0, 1.0).otherwise(-1.0))
 
       // Split verdict per community: ΔQ = s·B(g)s / 4m via one more
@@ -220,6 +232,8 @@ object Spectral {
         .withColumn("newc", min("id").over(Window.partitionBy("community", "grp")))
         .select(col("id"), col("newc").as("community"))
       val pinned = Iterate.pinSums(relabeled, Seq.empty)
+      stPin.release(); state0.release(); membersPin.release()
+      membersPin = pinned
       members = pinned.df
       val n2 = members.select("community").distinct().count()
       progressed = n2 > nComm

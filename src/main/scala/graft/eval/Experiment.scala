@@ -44,8 +44,12 @@ object Experiment {
       network_seed: Long,
       partition_seed: Long)
 
-  /** Method registry (config.py:15-85). Each returns a final membership. */
-  def methods(maxSupersteps: Int = 60)
+  /** Method registry (config.py:15-85). Each returns a final membership.
+    * `spectralK`: the grid's number_of_communities, passed straight through
+    * like the reference's `clusters=` argument (scripts/exp.py:71-72) — the
+    * fallback recount from `init` runs a Spark job inside the timed region
+    * and can lose a label at high noise. */
+  def methods(maxSupersteps: Int = 60, spectralK: Option[Int] = None)
       : Map[String, (Dataset[Edge], DataFrame) => DataFrame] = Map(
     "Hedonic" -> ((e, init) =>
       Hedonic.run(e, init, Hedonic.Config(maxSupersteps = maxSupersteps))._1),
@@ -67,8 +71,9 @@ object Experiment {
       LabelPropagation.run(e,
           Some(init.select(col("id"), col("community").as("label"))))
         .select(col("id"), col("label").as("community"))),
-    "Spectral" -> ((e, init) => { // M9: leading-eigenvector, k = |init communities|
-      val k = init.select("community").distinct().count().toInt.max(2)
+    "Spectral" -> ((e, init) => { // M9: leading-eigenvector, k from the grid
+      val k = spectralK.getOrElse(
+        init.select("community").distinct().count().toInt).max(2)
       Spectral.run(e, Spectral.Config(clusters = k))
     }),
     "Mirror" -> ((e, init) => init), // M6-style identity baseline
@@ -89,7 +94,7 @@ object Experiment {
     val gtOnGraph = gt.join(verts, Seq("id"), "left_semi").cache()
     val init = GraphGen.noisyPartition(gtOnGraph, p.nCommunities, p.noise, p.partitionSeed)
     val alpha = graft.graph.GraphOps.density(edges)
-    val reg = methods()
+    val reg = methods(spectralK = Some(p.nCommunities))
     val out = methodNames.map { name =>
       val t0 = System.nanoTime()
       val members = reg(name)(edges, init)

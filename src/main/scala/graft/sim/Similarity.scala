@@ -110,12 +110,18 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    cands
+    val pairs = cands
       .join(base.select(col("id").as("ida"), col("v").as("va")), Seq("ida"))
       .join(base.select(col("id").as("idb"), col("v").as("vb")), Seq("idb"))
       .withColumn("craw", cosine(col("va"), col("vb")))
       .filter(col("craw") >= threshold)
       .select(col("ida"), col("idb"), round(col("craw"), 6).as("cos"))
+    // The pair set is tiny next to the corpus: pin it eagerly, then drop the
+    // corpus cache — returning a lazy frame over a persisted `base` leaked
+    // one cached corpus copy per call in long-lived sessions.
+    val out = graft.io.Iterate.pin(pairs)
+    base.unpersist(blocking = false)
+    out
   }
 
   // ------------------------------------------------------------------ IVF
@@ -174,9 +180,14 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
-    scored.withColumn("rk", row_number().over(w))
+    val topk = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), round(col("cos"), 6).as("cos"), col("rk"))
+    // k rows per query: pin eagerly and release the corpus/centroid caches
+    // (same leak class as lshPairs — callers never owned these lifetimes).
+    val out = graft.io.Iterate.pin(topk)
+    base.unpersist(blocking = false); cent.unpersist(blocking = false)
+    out
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
