@@ -60,7 +60,14 @@ object Hedonic {
       parityGating: Boolean = true,
       checkpointEvery: Int = 8,
       checkpointDir: Option[String] = None,
-      trackPotential: Boolean = false)
+      trackPotential: Boolean = false,
+      // Max state rows for the broadcast-state superstep (see stepPinnedB):
+      // below this, the V-row membership is broadcast into a gather over
+      // edges cached pre-partitioned on the GROUPING key, and a superstep
+      // moves zero edge-scale rows through the shuffle. 0 forces the
+      // co-partitioned shuffle path (the 1e9-vertex strategy; tests pin
+      // both paths to identical results).
+      broadcastStateMaxRows: Long = 4000000L)
 
   /** friends per (id, candidate community): one equi-join of the symmetrized
     * edges with membership on the neighbor endpoint, then a hash aggregate
@@ -137,6 +144,78 @@ object Hedonic {
       (col("b.payoff") > col("curPayoff")).as("wants"),
       col("b.comm").as("bestComm"))
     val applied0 = decided
+      .withColumn("doMove", col("wants") && gate)
+      .select(
+        col("id"),
+        when(col("doMove"), col("bestComm")).otherwise(col("curComm")).as("community"),
+        col("wants"),
+        col("doMove"))
+    val pinned = Iterate.pinSums(applied0, Seq("wants", "doMove"))
+    (pinned, pinned.sums(0).toLong, pinned.sums(1).toLong)
+  }
+
+  /** Broadcast-state superstep — the same decision function as stepPinned,
+    * different physical strategy (used by run() when V fits the broadcast
+    * budget). The V-row membership is broadcast into the gather join over
+    * `sym` cached pre-partitioned on SRC — the grouping key — so both the
+    * gather aggregate and the per-node argmax run in place on the cached
+    * layout: no edge-scale exchange at all, only V-row traffic (the sizes
+    * aggregate inside the broadcast build and the final state join).
+    *
+    * The own-community candidate row (friends = 0) is not union'd in (a
+    * union would erase the partitioning the exchange-free plan rests on);
+    * instead the current payoff falls back to the closed form
+    * 0*(1-a) - (csize-1)*a when the node has no friends at home — bitwise
+    * the value the union row would have produced, so `wants` (a strict >)
+    * decides identically. Ties still keep the current community because
+    * wants is false on equality, regardless of which candidate the argmax
+    * struct surfaces. */
+  private[graft] def stepPinnedB(
+      sym: DataFrame,
+      members: DataFrame,
+      alpha: Double,
+      gate: org.apache.spark.sql.Column): (Iterate.Pinned, Long, Long) = {
+    val sizes = members.groupBy("community").agg(count(lit(1)).as("csize"))
+    val cur = members.select(col("id"), col("community").as("curComm"))
+    // (id, curComm, curSize): one small broadcast carrying everything the
+    // per-node side needs — curSize feeds the empty-home payoff fallback.
+    val curInfo = cur.join(
+      sizes.select(col("community").as("curComm"), col("csize").as("curSize")),
+      Seq("curComm"))
+    val nbrComm = members.select(col("id").as("dst"), col("community"))
+    val friendRows = sym
+      .join(broadcast(nbrComm), Seq("dst"))
+      .select(col("src").as("id"), col("community"), lit(1L).as("friends"))
+    val cand = friendRows
+      .groupBy("id", "community").agg(sum("friends").as("friends"))
+      .join(broadcast(sizes), Seq("community"))
+      .join(broadcast(curInfo), Seq("id"))
+      .withColumn("isCur", col("community") === col("curComm"))
+      .withColumn("strangers",
+        col("csize") - col("friends") - when(col("isCur"), 1L).otherwise(0L))
+      .withColumn("payoff",
+        col("friends") * (1.0 - alpha) - col("strangers") * alpha)
+    val best = cand.groupBy("id").agg(
+      max(struct(
+        col("payoff"),
+        col("isCur").cast("int").as("ic"),
+        (-col("community")).as("negc"),
+        col("community").as("comm"))).as("b"),
+      max(when(col("isCur"), col("payoff"))).as("curP0"),
+      first(col("curComm")).as("curComm"),
+      first(col("curSize")).as("curSize"))
+    val decided = best.select(
+      col("id"),
+      (col("b.payoff") >
+        coalesce(col("curP0"),
+          lit(0L) * (1.0 - alpha) - (col("curSize") - 1L) * alpha)).as("wants"),
+      col("b.comm").as("bestComm"))
+    // Left join from the full state: nodes absent from the edge table (no
+    // gather rows) keep their community, exactly as the union row gave
+    // them. decided is V rows — broadcast it too, so the whole superstep
+    // plan contains no exchange at all.
+    val applied0 = cur.join(broadcast(decided), Seq("id"), "left")
+      .withColumn("wants", coalesce(col("wants"), lit(false)))
       .withColumn("doMove", col("wants") && gate)
       .select(
         col("id"),
@@ -237,9 +316,14 @@ object Hedonic {
       cfg: Config = Config()): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
     val a = cfg.alpha.getOrElse(GraphOps.density(edges))
-    // cached pre-partitioned on dst (the gather join key): the edge side
-    // never re-exchanges inside the superstep loop — only members shuffle.
-    val sym = GraphOps.pinnedSym(edges, "dst")
+    val stateRows = init.count()
+    val bcast = stateRows <= cfg.broadcastStateMaxRows
+    // Cached pre-partitioned on the key the superstep cannot broadcast
+    // away: src (the gather GROUPING key) when the state is broadcast —
+    // the whole superstep then runs on the cached layout with zero
+    // edge-scale exchange — or dst (the gather JOIN key) on the shuffle
+    // path, where only the V-row members side re-exchanges per round.
+    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst")
     val edgeCount = sym.count()
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, cfg.checkpointEvery))
 
@@ -263,7 +347,9 @@ object Hedonic {
       // granularity, Checkpoint's `every`); the per-superstep lineage/stats
       // pin always happens inside stepPinned regardless.
       val cut = ckpt.isDefined && superstep % cfg.checkpointEvery == 0
-      val (pinned, wanted, moved) = stepPinned(sym, members, a, gate)
+      val (pinned, wanted, moved) =
+        if (bcast) stepPinnedB(sym, members, a, gate)
+        else stepPinned(sym, members, a, gate)
       val next = pinned.df.select("id", "community")
       val pot = if (cfg.trackPotential) potential(edges, next, a) else Double.NaN
       val wallMs = (System.nanoTime() - t0) / 1000000

@@ -30,16 +30,21 @@ object LabelPropagation {
   /** One synchronous step from `labels(id, label)`; returns new labels with
     * a `wants` column (true when the majority label differs from current).
     * `weighted = true` weighs each neighbor vote by edge weight (`sym` must
-    * carry a `weight` column). */
-  def step(sym: DataFrame, labels: DataFrame, weighted: Boolean = false): DataFrame = {
+    * carry a `weight` column). `bcastState = true` broadcasts the V-row
+    * label side into the gather — with `sym` cached pre-partitioned on src
+    * (the grouping key) the whole step then runs exchange-free on the
+    * cached layout (see Hedonic.stepPinnedB for the strategy rationale). */
+  def step(sym: DataFrame, labels: DataFrame, weighted: Boolean = false,
+           bcastState: Boolean = false): DataFrame = {
+    val labSide = labels.select(col("id").as("dst"), col("label").as("nbrLabel"))
     val nbrLabels = sym.join(
-      labels.select(col("id").as("dst"), col("label").as("nbrLabel")), Seq("dst"))
+      if (bcastState) broadcast(labSide) else labSide, Seq("dst"))
     val vote = if (weighted) sum(col("weight").cast("double")) else count(lit(1)).cast("double")
     val counts = nbrLabels.groupBy(col("src").as("id"), col("nbrLabel"))
       .agg(vote.as("cnt"))
     val best = counts.groupBy("id").agg(
       max(struct(col("cnt"), (-col("nbrLabel")).as("neg"), col("nbrLabel").as("lab"))).as("b"))
-    labels.join(best, Seq("id"), "left")
+    labels.join(if (bcastState) broadcast(best) else best, Seq("id"), "left")
       .select(col("id"), col("label"),
         coalesce(col("b.lab"), col("label")).as("bestLabel"))
       .withColumn("wants", col("bestLabel") =!= col("label"))
@@ -47,19 +52,23 @@ object LabelPropagation {
 
   def run(edges: Dataset[Edge], initOpt: Option[DataFrame] = None,
           maxIter: Int = 30, parityGating: Boolean = true,
-          weighted: Boolean = false): DataFrame = {
-    // cached pre-partitioned on dst (the gather join key): the edge side
-    // never re-exchanges inside the loop — only labels shuffle per round.
-    val sym = GraphOps.pinnedSym(edges, "dst", weighted)
-    var labels = initOpt
+          weighted: Boolean = false,
+          broadcastStateMaxRows: Long = 4000000L): DataFrame = {
+    val init = initOpt
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
-      .transform(Iterate.pin)
+    val bcast = init.count() <= broadcastStateMaxRows
+    // Cached pre-partitioned on src (the grouping key) when the state is
+    // broadcast — each iteration is then exchange-free on the cached
+    // layout — or dst (the join key) on the shuffle path, where only the
+    // V-row label side re-exchanges per round.
+    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst", weighted)
+    var labels = Iterate.pin(init)
     var prevPin: Option[Iterate.Pinned] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val stepped = step(sym, labels, weighted)
+      val stepped = step(sym, labels, weighted, bcastState = bcast)
       val gate =
         if (parityGating) graft.util.Portable.parityGate(col("id"), iter)
         else lit(true)

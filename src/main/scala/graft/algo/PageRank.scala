@@ -24,12 +24,29 @@ import graft.io.Iterate
   * weights) — the natural semantics for the engine's weighted co-occurrence
   * graph.
   *
-  * Scale shape per iteration: one equi-join (ranks -> edges on src, ranks
-  * is the small side) + one hash aggregate on dst, then ONE materializing
-  * job that pins the new state and (in tol mode) accumulates sum|delta| in
-  * the same pass — no separate convergence job. The edge table is
-  * persisted once across all iterations; the previous iteration's cache is
-  * released as soon as the new one is live.
+  * Scale shape per iteration — two physical strategies, chosen by state
+  * size (the same decision Spark itself makes between broadcast-hash and
+  * sort-merge joins):
+  *
+  *  - broadcast-state (V <= broadcastStateMaxRows, no explicit vertex
+  *    table): the edge table is cached pre-partitioned on dst — the
+  *    GROUPING key — and the V-row rank state is broadcast into the
+  *    contribution join. The join is map-side, and the groupBy(dst) is
+  *    satisfied by the cached partitioning, so an iteration moves ZERO
+  *    edge-scale rows through the shuffle: it is a pure scan of the cached
+  *    adjacency + in-place hash aggregate. This is what makes per-iteration
+  *    cost scale with cores (the N->4N efficiency target): the E-row
+  *    exchange that saturates single-host shuffle bandwidth is gone.
+  *  - co-partitioned shuffle (large V): edges cached partitioned on src
+  *    (the join key); only the V-row state shuffles into the join, and the
+  *    E-row contribution aggregate exchanges on dst. This is the 1e9-vertex
+  *    path where broadcasting the state would be worse than the shuffle
+  *    (replicating V rows to every executor).
+  *
+  * Either way, ONE materializing job pins the new state and (in tol mode)
+  * accumulates sum|delta| in the same pass — no separate convergence job.
+  * The edge table is persisted once across all iterations; the previous
+  * iteration's cache is released as soon as the new one is live.
   */
 object PageRank {
 
@@ -38,15 +55,26 @@ object PageRank {
       tol: Double = 1e-9, // on sum(|delta|); comfortably below 1e-6 fixture parity
       maxIter: Int = 100,
       fixedIter: Option[Int] = None, // exactly-n iterations (oracle parity mode)
-      weighted: Boolean = false)
+      weighted: Boolean = false,
+      // Max state rows to run the broadcast-state strategy. ~24 B/row:
+      // the default ~100 MB broadcast trades against an E-row shuffle per
+      // iteration; 0 forces the co-partitioned shuffle path (tests use
+      // this to pin both strategies to the same fixtures).
+      broadcastStateMaxRows: Long = 4000000L)
 
   def run(edges: Dataset[Edge], cfg: Config = Config(),
           verticesOpt: Option[DataFrame] = None): DataFrame = {
-    // cached pre-partitioned on src (the per-iteration join key): the edge
-    // side never re-exchanges inside the loop — only ranks shuffle.
-    val sym = GraphOps.pinnedSym(edges, "src", cfg.weighted)
     val verts = verticesOpt.getOrElse(GraphOps.vertices(edges)).select("id").persist()
     val v = verts.count().toDouble
+    // Explicit vertex tables may contain dangling vertices, whose left-join
+    // handling needs the co-partitioned path; broadcast-state covers the
+    // engine's common case (edge-derived vertex set, min degree 1).
+    val bcast = verticesOpt.isEmpty && v <= cfg.broadcastStateMaxRows
+    // Cached pre-partitioned on the per-iteration NON-broadcast key: the
+    // grouping key (dst) when the state is broadcast — the aggregate then
+    // reuses the cached layout and the iteration is exchange-free — or the
+    // join key (src) on the shuffle path, where only ranks re-exchange.
+    val sym = GraphOps.pinnedSym(edges, if (bcast) "dst" else "src", cfg.weighted)
     // outdeg / out-strength per vertex.
     val deg =
       if (cfg.weighted)
@@ -75,20 +103,28 @@ object PageRank {
       val contribCol =
         if (cfg.weighted) col("rank") * col("weight") / col("deg")
         else col("rank") / col("deg")
+      val rankSide = ranks.filter(col("deg") > 0.0)
+        .select(col("id").as("src"), col("rank"), col("deg"))
       val contribs = sym
-        .join(ranks.filter(col("deg") > 0.0).select(col("id").as("src"), col("rank"), col("deg")),
-          Seq("src"))
+        .join(if (bcast) broadcast(rankSide) else rankSide, Seq("src"))
         .select(col("dst"), contribCol.as("c"))
         .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
       val newRank =
         lit((1.0 - cfg.damping) / v) +
           lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / v))
-      val base = vdeg.join(contribs, Seq("id"), "left")
+      // On a symmetrized graph with min degree 1 every vertex receives at
+      // least one contribution, so the broadcast path's inner join visits
+      // exactly the same rows as the shuffle path's left join — it only
+      // re-attaches deg map-side instead of exchanging E-scale rows.
+      val base =
+        if (bcast) contribs.join(broadcast(vdeg), Seq("id"))
+        else vdeg.join(contribs, Seq("id"), "left")
       if (cfg.fixedIter.isEmpty) {
         // tol mode: |delta| vs the previous ranks rides the SAME plan; the
         // pin job below both materializes and sums it (zero extra jobs).
+        val oldSide = ranks.select(col("id"), col("rank").as("old"))
         val withDelta = base
-          .join(ranks.select(col("id"), col("rank").as("old")), Seq("id"))
+          .join(if (bcast) broadcast(oldSide) else oldSide, Seq("id"))
           .select(col("id"), newRank.as("rank"), col("deg"),
             abs(newRank - col("old")).as("delta"))
         val pinned = Iterate.pinSums(withDelta, Seq("delta"))

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algo.{Hedonic, LabelPropagation, PageRank}
+
+/** The iterative algorithms carry two physical strategies — broadcast-state
+  * (small V: state broadcast, edges partitioned on the grouping key, zero
+  * edge-scale exchange per round) and co-partitioned shuffle (the 1e9-vertex
+  * path). They must be the SAME decision function: identical results, not
+  * merely equivalent-up-to-schedule. broadcastStateMaxRows = 0 forces the
+  * shuffle path; the default covers the broadcast path.
+  */
+class StrategySpec extends SparkSpec {
+
+  // Two planted triangles bridged by one edge + a pendant path — has real
+  // gather asymmetry, multi-round convergence, and a node outside any
+  // triangle.
+  private val pairs = Seq[(Long, Long)](
+    (0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3), (5, 6), (6, 7))
+
+  test("hedonic: broadcast-state and shuffle supersteps decide identically") {
+    val e = edgesOf(pairs)
+    val init = membersOf((0L to 7L).map(i => (i, i)))
+    val (mB, metB) = Hedonic.run(e, init, Hedonic.Config(maxSupersteps = 40))
+    val (mS, metS) = Hedonic.run(e, init,
+      Hedonic.Config(maxSupersteps = 40, broadcastStateMaxRows = 0L))
+    assert(toMap(mB) == toMap(mS)) // bitwise-identical labels, not permutation
+    assert(metB.map(m => (m.superstep, m.moved, m.frontier)) ==
+      metS.map(m => (m.superstep, m.moved, m.frontier)))
+  }
+
+  test("hedonic: multi-label noisy init agrees across strategies") {
+    val e = edgesOf(pairs)
+    val init = membersOf(Seq((0L, 5L), (1L, 0L), (2L, 0L), (3L, 1L),
+      (4L, 1L), (5L, 0L), (6L, 1L), (7L, 5L)))
+    val (mB, _) = Hedonic.run(e, init, Hedonic.Config(maxSupersteps = 40))
+    val (mS, _) = Hedonic.run(e, init,
+      Hedonic.Config(maxSupersteps = 40, broadcastStateMaxRows = 0L))
+    assert(toMap(mB) == toMap(mS))
+  }
+
+  test("pagerank: broadcast-state and shuffle iterations match at 1e-12") {
+    val e = edgesOf(Fixtures.zachary)
+    val b = PageRank.run(e, PageRank.Config(fixedIter = Some(20)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s = PageRank.run(e,
+        PageRank.Config(fixedIter = Some(20), broadcastStateMaxRows = 0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b.keySet == s.keySet)
+    // Same arithmetic, different summation order: agreement far below the
+    // 1e-6 fixture-parity bar.
+    b.foreach { case (id, r) => assert(math.abs(r - s(id)) < 1e-12) }
+  }
+
+  test("lpa: broadcast-state and shuffle runs produce identical labels") {
+    val e = edgesOf(pairs)
+    val b = toMap(LabelPropagation.run(e))
+    val s = toMap(LabelPropagation.run(e, broadcastStateMaxRows = 0L))
+    assert(b == s)
+  }
+}
