@@ -619,40 +619,215 @@ object Oracles {
     * engine's convergence point are identity (no node strictly improves),
     * so any k >= the convergence superstep count reproduces the fixpoint —
     * 23 supersteps at sf0.01, 15 at sf0.001; k=32 carries margin. */
-  def hedonicFull(k: Int): String = {
+  def hedonicFull(k: Int): String =
+    s"""WITH $thinCtes, $alphaCte,
+    ms0 AS (SELECT id, id AS community FROM verts),
+    ${hedonicLevelCtes(k, "")}
+    SELECT id, community FROM ms$k"""
+
+  /** `k` gated hedonic superstep levels `{p}ms1..{p}ms{k}` chaining from a
+    * caller-provided `{p}ms0`, over caller-provided `sym` + `alpha` CTEs
+    * (mirrors Hedonic.stepPinned / stepPinnedB — StrategySpec pins the two
+    * physical strategies to identical decisions, so one SQL mirror serves
+    * both). Each Hedonic.run call restarts its superstep counter at 0, so
+    * the parity-gate round is always `i - 1` within a level group. */
+  private def hedonicLevelCtes(k: Int, p: String): String = {
     def level(i: Int): String = {
-      val prev = if (i == 1) "ms0" else s"ms${i - 1}"
+      val prev = s"${p}ms${i - 1}"
       s"""
-    cand$i AS (
+    ${p}cand$i AS (
       SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
         SELECT s.src AS id, m.community, 1 AS friends FROM sym s JOIN $prev m ON s.dst = m.id
         UNION ALL
         SELECT id, community, 0 AS friends FROM $prev
       ) GROUP BY id, community),
-    size$i AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM $prev GROUP BY community),
-    pay$i AS (
+    ${p}size$i AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM $prev GROUP BY community),
+    ${p}pay$i AS (
       SELECT c.id, c.community,
              c.friends * (1.0 - (SELECT a FROM alpha)) -
                (s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END)) * (SELECT a FROM alpha) AS payoff,
              (c.community = m.community) AS iscur
-      FROM cand$i c JOIN size$i s ON c.community = s.community JOIN $prev m ON c.id = m.id),
-    rk$i AS (
+      FROM ${p}cand$i c JOIN ${p}size$i s ON c.community = s.community JOIN $prev m ON c.id = m.id),
+    ${p}rk$i AS (
       SELECT id, community, payoff, iscur,
              row_number() OVER (PARTITION BY id
                ORDER BY payoff DESC, iscur DESC, community ASC) AS rn,
              max(CASE WHEN iscur THEN payoff END) OVER (PARTITION BY id) AS curp,
              max(CASE WHEN iscur THEN community END) OVER (PARTITION BY id) AS curc
-      FROM pay$i),
-    ms$i AS (
+      FROM ${p}pay$i),
+    ${p}ms$i AS (
       SELECT id,
              CAST(CASE WHEN payoff > curp AND ${gateSql("id", i - 1)}
                        THEN community ELSE curc END AS BIGINT) AS community
-      FROM rk$i WHERE rn = 1)"""
+      FROM ${p}rk$i WHERE rn = 1)"""
+    }
+    (1 to k).map(level).mkString(",\n")
+  }
+
+  /** q_sbm_recover: EXACT generator-replay oracle. GraphGen.sbm /
+    * groundTruth / noisyPartition draw from the portable md5 family, so
+    * the 3x20 planted graph (pIn .5, pOut .02, seed 11) and the 30%-noisy
+    * init (seed 12) are reproduced in SQL, then k = the engine's
+    * maxSupersteps gated hedonic levels replay the run — equal caps make
+    * the match exact whether or not the run converges. alpha = density
+    * over the EDGE-DERIVED vertex set (GraphOps.density), while the
+    * membership state covers all 60 generated ids. */
+  def sbmRecover(k: Int): String = {
+    val m = 1000000L
+    val draw = "(('0x' || substr(md5('sbm:11:' || a.id || ':' || b.id), 1, 8))::BIGINT % " + m + ")"
+    s"""WITH
+    ids AS (SELECT range AS id FROM range(60)),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst FROM ids a JOIN ids b ON a.id < b.id
+      WHERE $draw < (CASE WHEN a.id // 20 = b.id // 20 THEN ${(0.5 * m).toLong} ELSE ${(0.02 * m).toLong} END)),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+    verts AS (SELECT DISTINCT src AS id FROM sym),
+    $alphaCte,
+    ms0 AS (
+      SELECT id,
+             CAST(CASE WHEN (('0x' || substr(md5('nz:12:' || id), 1, 8))::BIGINT % $m) < ${(0.3 * m).toLong}
+                  THEN (('0x' || substr(md5('nc:12:' || id), 1, 8))::BIGINT % 3)
+                  ELSE id // 20 END AS BIGINT) AS community
+      FROM ids),
+    ${hedonicLevelCtes(k, "")}
+    SELECT id, community FROM ms$k"""
+  }
+
+  /** q_hedonic_frontier: the queue-variant executor replayed as `k` levels
+    * with explicit frontier tracking (mirrors HedonicFrontier.run — gather
+    * restricted to the active set, new frontier = movers' outside-community
+    * neighbors + movers + gated wanters). k = the engine's maxSupersteps,
+    * so the match is exact whether the frontier empties early (levels past
+    * that are identity: empty frontier -> no candidates -> no movers) or
+    * the cap is hit. */
+  def hedonicFrontier(k: Int): String = {
+    def level(i: Int): String = {
+      val prev = s"ms${i - 1}"
+      val prevF = s"fr${i - 1}"
+      s"""
+    fcand$i AS (
+      SELECT id, community, CAST(sum(friends) AS BIGINT) AS friends FROM (
+        SELECT s.src AS id, m.community, 1 AS friends
+        FROM sym s JOIN $prevF fa ON s.src = fa.id JOIN $prev m ON s.dst = m.id
+        UNION ALL
+        SELECT m.id, m.community, 0 AS friends FROM $prev m JOIN $prevF f ON m.id = f.id
+      ) GROUP BY id, community),
+    fsize$i AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM $prev GROUP BY community),
+    fpay$i AS (
+      SELECT c.id, c.community,
+             c.friends * (1.0 - (SELECT a FROM alpha)) -
+               (s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END)) * (SELECT a FROM alpha) AS payoff,
+             (c.community = m.community) AS iscur
+      FROM fcand$i c JOIN fsize$i s ON c.community = s.community JOIN $prev m ON c.id = m.id),
+    fdec$i AS (
+      SELECT id, community AS newcomm, payoff > curp AS wants,
+             ${gateSql("id", i - 1)} AS gated
+      FROM (
+        SELECT id, community, payoff,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY payoff DESC, iscur DESC, community ASC) AS rn,
+               max(CASE WHEN iscur THEN payoff END) OVER (PARTITION BY id) AS curp
+        FROM fpay$i) WHERE rn = 1),
+    fmv$i AS (SELECT id, newcomm FROM fdec$i WHERE wants AND gated),
+    ms$i AS (
+      SELECT p.id, CAST(coalesce(v.newcomm, p.community) AS BIGINT) AS community
+      FROM $prev p LEFT JOIN fmv$i v ON p.id = v.id),
+    fr$i AS (
+      SELECT DISTINCT id FROM (
+        SELECT s.dst AS id
+        FROM sym s JOIN fmv$i v ON s.src = v.id JOIN ms$i m ON s.dst = m.id
+        WHERE m.community <> v.newcomm
+        UNION ALL SELECT id FROM fmv$i
+        UNION ALL SELECT id FROM fdec$i WHERE wants AND NOT gated))"""
     }
     s"""WITH $thinCtes, $alphaCte,
-    ms0 AS (SELECT id, id AS community FROM verts),
+    ms0 AS (SELECT id, community FROM m0),
+    fr0 AS (SELECT id FROM m0),
     ${(1 to k).map(level).mkString(",\n")}
     SELECT id, community FROM ms$k"""
+  }
+
+  /** `k` merge rounds `{p}mm1..{p}mm{k}` chaining from `{p}mm0` (mirrors
+    * Leiden.mergeRound: mutual-best-partner matching over positive-gain
+    * meta-edges, gain = e_between - alpha*nA*nB, absorbed side -> smaller
+    * id). Rounds past the fixpoint are identity (no positive mutual pair). */
+  private def mergeRoundCtes(k: Int, p: String): String = {
+    def round(r: Int): String = {
+      val prev = s"${p}mm${r - 1}"
+      s"""
+    ${p}mt$r AS (
+      SELECT least(m1.community, m2.community) AS ca,
+             greatest(m1.community, m2.community) AS cb,
+             CAST(count(*) AS BIGINT) AS btw
+      FROM edges e JOIN $prev m1 ON e.src = m1.id JOIN $prev m2 ON e.dst = m2.id
+      WHERE m1.community <> m2.community GROUP BY 1, 2),
+    ${p}mst$r AS (
+      SELECT s.community, s.n, coalesce(i.ein, 0) AS ein FROM
+        (SELECT community, CAST(count(*) AS BIGINT) AS n FROM $prev GROUP BY community) s
+        LEFT JOIN
+        (SELECT m1.community, CAST(count(*) AS BIGINT) AS ein
+         FROM edges e JOIN $prev m1 ON e.src = m1.id JOIN $prev m2 ON e.dst = m2.id
+         WHERE m1.community = m2.community GROUP BY m1.community) i
+        USING (community)),
+    ${p}mbd$r AS (
+      SELECT ca AS c, cb AS pt, g.btw - (SELECT a FROM alpha) * na.n * nb.n AS gain
+      FROM ${p}mt$r g
+        JOIN ${p}mst$r na ON g.ca = na.community JOIN ${p}mst$r nb ON g.cb = nb.community
+      UNION ALL
+      SELECT cb AS c, ca AS pt, g.btw - (SELECT a FROM alpha) * na.n * nb.n AS gain
+      FROM ${p}mt$r g
+        JOIN ${p}mst$r na ON g.ca = na.community JOIN ${p}mst$r nb ON g.cb = nb.community),
+    ${p}mbs$r AS (
+      SELECT c, pt FROM (
+        SELECT c, pt, row_number() OVER (PARTITION BY c ORDER BY gain DESC, pt ASC) AS rn
+        FROM ${p}mbd$r WHERE gain > 0) WHERE rn = 1),
+    ${p}mmu$r AS (
+      SELECT x.c AS community, least(x.c, x.pt) AS newcomm
+      FROM ${p}mbs$r x JOIN ${p}mbs$r y ON x.pt = y.c AND y.pt = x.c
+      WHERE x.c <> least(x.c, x.pt)),
+    ${p}mm$r AS (
+      SELECT m.id, CAST(coalesce(u.newcomm, m.community) AS BIGINT) AS community
+      FROM $prev m LEFT JOIN ${p}mmu$r u ON m.community = u.community)"""
+    }
+    (1 to k).map(round).mkString(",\n")
+  }
+
+  /** Potential scalar CTE over a members CTE (mirrors Hedonic.potential:
+    * sum over communities of ein*(1-a) - (C(n,2) - ein)*a; 0 when empty). */
+  private def potentialCte(name: String, membersCte: String): String = s"""
+    $name AS (
+      SELECT coalesce(sum(ein * (1.0 - (SELECT a FROM alpha)) -
+               (n * (n - 1) / 2 - ein) * (SELECT a FROM alpha)), 0.0) AS pot FROM (
+        SELECT s.n, coalesce(i.ein, 0) AS ein FROM
+          (SELECT community, CAST(count(*) AS BIGINT) AS n FROM $membersCte GROUP BY community) s
+          LEFT JOIN
+          (SELECT m1.community, CAST(count(*) AS BIGINT) AS ein
+           FROM edges e JOIN $membersCte m1 ON e.src = m1.id JOIN $membersCte m2 ON e.dst = m2.id
+           WHERE m1.community = m2.community GROUP BY m1.community) i
+          USING (community)))"""
+
+  /** q_leiden_full: 2 Leiden levels replayed exactly — each level is
+    * `hk` gated hedonic supersteps then `mk` merge rounds, with level 2
+    * applied only when level 1's merge phase improved the global potential
+    * by > 1e-12 (Leiden.run's `changed` guard). Caps equal the engine
+    * query's caps, so the replay is exact with or without early
+    * convergence (post-fixpoint levels/rounds are identity). */
+  def leidenFull(hk: Int, mk: Int): String = {
+    s"""WITH $thinCtes, $alphaCte,
+    ams0 AS (SELECT id, community FROM m0),
+    ${hedonicLevelCtes(hk, "a")},
+    amm0 AS (SELECT id, community FROM ams$hk),
+    ${mergeRoundCtes(mk, "a")},
+    ${potentialCte("apotb", s"ams$hk")},
+    ${potentialCte("apota", s"amm$mk")},
+    chg AS (SELECT (SELECT pot FROM apota) > (SELECT pot FROM apotb) + 1e-12 AS c),
+    bms0 AS (SELECT id, community FROM amm$mk),
+    ${hedonicLevelCtes(hk, "b")},
+    bmm0 AS (SELECT id, community FROM bms$hk),
+    ${mergeRoundCtes(mk, "b")}
+    SELECT id, community FROM bmm$mk WHERE (SELECT c FROM chg)
+    UNION ALL
+    SELECT id, community FROM amm$mk WHERE NOT (SELECT c FROM chg)"""
   }
 
   /** Full gated LPA replayed as `k` chained levels on the THIN graph from

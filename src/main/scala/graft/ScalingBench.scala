@@ -81,9 +81,15 @@ object ScalingBench {
     val vCount = verts.count()
     val init = verts.select(col("id"), col("id").as("community"))
 
+    // Strategy override for A/B evidence: rows below this use the
+    // broadcast-state iteration (zero edge-scale exchange per round);
+    // 0 forces the co-partitioned shuffle path.
+    val bcastMax = sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX", "4000000").toLong
+
     // Hedonic to convergence from singletons.
     val t1 = System.nanoTime()
-    val (members, metrics) = Hedonic.run(edges, init, Hedonic.Config(maxSupersteps = 30))
+    val (members, metrics) = Hedonic.run(edges, init,
+      Hedonic.Config(maxSupersteps = 30, broadcastStateMaxRows = bcastMax))
     val tHed = (System.nanoTime() - t1) / 1e9
     System.err.println("superstep wallMs: " + metrics.map(_.wallMs).mkString(","))
     val supersteps = metrics.size
@@ -93,7 +99,8 @@ object ScalingBench {
     // PageRank: fixed 10 iterations (the per-iteration cost is the metric;
     // a tol run adds a delta-join per iteration, timed separately).
     val t2 = System.nanoTime()
-    PageRank.run(edges, PageRank.Config(fixedIter = Some(10))).count()
+    PageRank.run(edges,
+      PageRank.Config(fixedIter = Some(10), broadcastStateMaxRows = bcastMax)).count()
     val tPr10 = (System.nanoTime() - t2) / 1e9
     val prEdgesPerSec = 2.0 * edgeCount * 10 / tPr10
 

@@ -193,16 +193,22 @@ object SparkEntry {
         countDistinct("l_orderkey").as("n_orders"))),
 
     // ---------------------- graph, iterative (thin graph: real dynamics)
+    // Caps (30 supersteps / 10 merge rounds x 2 levels) match
+    // Oracles.leidenFull(30, 10) EXACTLY: post-fixpoint levels/rounds are
+    // identity, and equal caps make the replay exact even without
+    // convergence.
     "q_leiden_full" -> ((s, dir) => {
       val e = graphThin(s, dir)
       graft.algo.Leiden.run(e, m0(e), levels = 2,
-        hedonicCfg = Hedonic.Config(maxSupersteps = 30))
+        hedonicCfg = Hedonic.Config(maxSupersteps = 30), mergeRounds = 10)
     }),
 
+    // Cap 40 matches Oracles.hedonicFrontier(40) level-for-level (the run
+    // empties its frontier well before that at driver SFs).
     "q_hedonic_frontier" -> ((s, dir) => {
       val e = graphThin(s, dir)
       val (m, _) = graft.algo.HedonicFrontier.run(e, m0(e),
-        Hedonic.Config(maxSupersteps = 60))
+        Hedonic.Config(maxSupersteps = 40))
       m
     }),
 
@@ -469,6 +475,9 @@ object SparkEntry {
     // round-3 additions: portable md5 hash family makes the randomized
     // scale paths and full gated iterative runs DuckDB-replicable
     "q_hedonic_full" -> Oracles.hedonicFull(32),
+    "q_hedonic_frontier" -> Oracles.hedonicFrontier(40),
+    "q_leiden_full" -> Oracles.leidenFull(30, 10),
+    "q_sbm_recover" -> Oracles.sbmRecover(40),
     "q_lpa_full" -> Oracles.lpaFull(20),
     "q_minhash_pairs" -> Oracles.minhashPairs,
     "q_simhash_pairs" -> Oracles.simhashPairs,

@@ -175,6 +175,18 @@ object Hedonic {
       members: DataFrame,
       alpha: Double,
       gate: org.apache.spark.sql.Column): (Iterate.Pinned, Long, Long) = {
+    val pinned = Iterate.pinSums(stepPlanB(sym, members, alpha, gate),
+      Seq("wants", "doMove"))
+    (pinned, pinned.sums(0).toLong, pinned.sums(1).toLong)
+  }
+
+  /** The broadcast superstep's (unpinned) plan — exposed so StrategySpec
+    * can assert it stays free of shuffle exchanges. */
+  private[graft] def stepPlanB(
+      sym: DataFrame,
+      members: DataFrame,
+      alpha: Double,
+      gate: org.apache.spark.sql.Column): DataFrame = {
     val sizes = members.groupBy("community").agg(count(lit(1)).as("csize"))
     val cur = members.select(col("id"), col("community").as("curComm"))
     // (id, curComm, curSize): one small broadcast carrying everything the
@@ -214,7 +226,7 @@ object Hedonic {
     // gather rows) keep their community, exactly as the union row gave
     // them. decided is V rows — broadcast it too, so the whole superstep
     // plan contains no exchange at all.
-    val applied0 = cur.join(broadcast(decided), Seq("id"), "left")
+    cur.join(broadcast(decided), Seq("id"), "left")
       .withColumn("wants", coalesce(col("wants"), lit(false)))
       .withColumn("doMove", col("wants") && gate)
       .select(
@@ -222,8 +234,6 @@ object Hedonic {
         when(col("doMove"), col("bestComm")).otherwise(col("curComm")).as("community"),
         col("wants"),
         col("doMove"))
-    val pinned = Iterate.pinSums(applied0, Seq("wants", "doMove"))
-    (pinned, pinned.sums(0).toLong, pinned.sums(1).toLong)
   }
 
   /** M4 one-pass hedonic improvement at alpha = 0 (reference

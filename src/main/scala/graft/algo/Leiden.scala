@@ -101,7 +101,8 @@ object Leiden {
     * Leiden aggregation the "Leiden" baseline uses (config.py:42-55). */
   def run(edges: Dataset[Edge], init: DataFrame,
           alpha: Option[Double] = None, levels: Int = 3,
-          hedonicCfg: Hedonic.Config = Hedonic.Config()): DataFrame = {
+          hedonicCfg: Hedonic.Config = Hedonic.Config(),
+          mergeRounds: Int = 50): DataFrame = {
     val a = alpha.getOrElse(GraphOps.density(edges))
     var members = init.select("id", "community")
     var level = 0
@@ -109,7 +110,7 @@ object Leiden {
     while (changed && level < levels) {
       val (moved, _) = Hedonic.run(edges, members, hedonicCfg.copy(alpha = Some(a)))
       val before = Hedonic.potential(edges, moved, a)
-      val mergedM = mergePhase(edges, moved, a)
+      val mergedM = mergePhase(edges, moved, a, mergeRounds)
       val after = Hedonic.potential(edges, mergedM, a)
       changed = after > before + 1e-12
       members = mergedM

@@ -100,41 +100,18 @@ object PageRank {
           ranks.filter(col("deg") === 0.0)
             .agg(coalesce(sum("rank"), lit(0.0))).collect()(0).getDouble(0)
         else 0.0
-      val contribCol =
-        if (cfg.weighted) col("rank") * col("weight") / col("deg")
-        else col("rank") / col("deg")
-      val rankSide = ranks.filter(col("deg") > 0.0)
-        .select(col("id").as("src"), col("rank"), col("deg"))
-      val contribs = sym
-        .join(if (bcast) broadcast(rankSide) else rankSide, Seq("src"))
-        .select(col("dst"), contribCol.as("c"))
-        .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
-      val newRank =
-        lit((1.0 - cfg.damping) / v) +
-          lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / v))
-      // On a symmetrized graph with min degree 1 every vertex receives at
-      // least one contribution, so the broadcast path's inner join visits
-      // exactly the same rows as the shuffle path's left join — it only
-      // re-attaches deg map-side instead of exchanging E-scale rows.
-      val base =
-        if (bcast) contribs.join(broadcast(vdeg), Seq("id"))
-        else vdeg.join(contribs, Seq("id"), "left")
+      val plan = iterPlan(sym, ranks, vdeg, v, dangling, bcast,
+        withDelta = cfg.fixedIter.isEmpty, cfg)
       if (cfg.fixedIter.isEmpty) {
         // tol mode: |delta| vs the previous ranks rides the SAME plan; the
         // pin job below both materializes and sums it (zero extra jobs).
-        val oldSide = ranks.select(col("id"), col("rank").as("old"))
-        val withDelta = base
-          .join(if (bcast) broadcast(oldSide) else oldSide, Seq("id"))
-          .select(col("id"), newRank.as("rank"), col("deg"),
-            abs(newRank - col("old")).as("delta"))
-        val pinned = Iterate.pinSums(withDelta, Seq("delta"))
+        val pinned = Iterate.pinSums(plan, Seq("delta"))
         done = pinned.sums(0) < cfg.tol
         ranks = pinned.df.select("id", "rank", "deg")
         prevPin.foreach(_.release())
         prevPin = Some(pinned)
       } else {
-        val pinned = Iterate.pinSums(
-          base.select(col("id"), newRank.as("rank"), col("deg")), Seq.empty)
+        val pinned = Iterate.pinSums(plan, Seq.empty)
         ranks = pinned.df
         prevPin.foreach(_.release())
         prevPin = Some(pinned)
@@ -143,6 +120,38 @@ object PageRank {
     }
     sym.unpersist(); verts.unpersist(); vdeg.unpersist()
     ranks.select("id", "rank")
+  }
+
+  /** One iteration's (unpinned) next-state plan — exposed so StrategySpec
+    * can assert the broadcast-state variant stays free of shuffle
+    * exchanges. On the broadcast path the inner deg re-attach visits
+    * exactly the rows the shuffle path's left join does, because a
+    * symmetrized min-degree-1 graph delivers at least one contribution to
+    * every vertex. */
+  private[graft] def iterPlan(sym: DataFrame, ranks: DataFrame, vdeg: DataFrame,
+      v: Double, dangling: Double, bcast: Boolean, withDelta: Boolean,
+      cfg: Config): DataFrame = {
+    val contribCol =
+      if (cfg.weighted) col("rank") * col("weight") / col("deg")
+      else col("rank") / col("deg")
+    val rankSide = ranks.filter(col("deg") > 0.0)
+      .select(col("id").as("src"), col("rank"), col("deg"))
+    val contribs = sym
+      .join(if (bcast) broadcast(rankSide) else rankSide, Seq("src"))
+      .select(col("dst"), contribCol.as("c"))
+      .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
+    val newRank =
+      lit((1.0 - cfg.damping) / v) +
+        lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / v))
+    val base =
+      if (bcast) contribs.join(broadcast(vdeg), Seq("id"))
+      else vdeg.join(contribs, Seq("id"), "left")
+    if (withDelta) {
+      val oldSide = ranks.select(col("id"), col("rank").as("old"))
+      base.join(if (bcast) broadcast(oldSide) else oldSide, Seq("id"))
+        .select(col("id"), newRank.as("rank"), col("deg"),
+          abs(newRank - col("old")).as("delta"))
+    } else base.select(col("id"), newRank.as("rank"), col("deg"))
   }
 
   /** Top-k vertices by rank (SURVEY.md §2.6 addition). */

@@ -6,11 +6,16 @@ import graft.model.Edge
 
 /** Synthetic graph + partition generators mirroring the reference's
   * experiment inputs (SURVEY.md §2.1 S10-S12), fully deterministic:
-  * every random draw is a seeded-hash Bernoulli/choice (`xxhash64`), never
-  * `rand()`, so results are identical under any repartitioning — the
-  * property fixtures and resume tests rely on.
+  * every random draw is a seeded-hash Bernoulli/choice, never `rand()`,
+  * so results are identical under any repartitioning — the property
+  * fixtures and resume tests rely on. Draws use the portable md5 family
+  * (graft.util.Portable), so DuckDB can replay the generators bit-for-bit
+  * and fully-synthetic queries (q_sbm_recover) get exact oracles.
   */
 object GraphGen {
+  import graft.util.Portable
+
+  private val M = 1000000L
 
   /** Stochastic block model (reference scripts/utils.py:162-177):
     * `nCommunities` blocks of `communitySize` vertices; edge (u,v) exists
@@ -31,10 +36,10 @@ object GraphGen {
       (col("id") / communitySize).cast("long").as("bs"))
     val right = spark.range(v).select(col("id").as("dst"),
       (col("id") / communitySize).cast("long").as("bd"))
-    val m = 1000000L
-    val draw = pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(m))
-    val keep = when(col("bs") === col("bd"), draw < (pIn * m).toLong)
-      .otherwise(draw < (pOut * m).toLong)
+    // DuckDB mirror: ('0x'||substr(md5('sbm:'||seed||':'||src||':'||dst),1,8))::BIGINT % 1000000
+    val draw = pmod(Portable.u32(Portable.key(lit("sbm"), lit(seed), col("src"), col("dst"))), lit(M))
+    val keep = when(col("bs") === col("bd"), draw < (pIn * M).toLong)
+      .otherwise(draw < (pOut * M).toLong)
     left.crossJoin(right)
       .filter(col("src") < col("dst"))
       .filter(keep)
@@ -58,9 +63,11 @@ object GraphGen {
                      noise: Double, seed: Long): DataFrame = {
     if (noise > 1.0)
       return groundTruth.select(col("id"), col("id").as("community"))
-    val m = 1000000L
-    val flip = pmod(xxhash64(col("id"), lit(seed)), lit(m)) < (noise * m).toLong
-    val randComm = pmod(xxhash64(col("id"), lit(seed + 1)), lit(nCommunities.toLong))
+    // DuckDB mirrors: 'nz:'/'nc:' keys, same md5-u32 modulus scheme as sbm.
+    val flip = pmod(Portable.u32(Portable.key(lit("nz"), lit(seed), col("id"))), lit(M)) <
+      (noise * M).toLong
+    val randComm = pmod(Portable.u32(Portable.key(lit("nc"), lit(seed), col("id"))),
+      lit(nCommunities.toLong))
     groundTruth.select(col("id"),
       when(flip, randComm).otherwise(col("community")).cast("long").as("community"))
   }

@@ -52,6 +52,53 @@ class StrategySpec extends SparkSpec {
     b.foreach { case (id, r) => assert(math.abs(r - s(id)) < 1e-12) }
   }
 
+  /** Shuffle exchanges on the plan SPINE — i.e. moving edge-scale rows.
+    * Broadcast-build subtrees are skipped: a V-row aggregate inside a
+    * BroadcastExchange (community sizes) is state-scale traffic and is the
+    * point of the strategy. Cached relations are leaves, so the one-time
+    * pinnedSym exchange doesn't count either. */
+  private def spineShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def walk(p: SparkPlan): Int = p match {
+      case _: BroadcastExchangeLike => 0
+      case s: ShuffleExchangeLike   => 1 + s.children.map(walk).sum
+      case o                        => o.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("broadcast-state plans contain zero spine shuffle exchanges") {
+    import graft.graph.GraphOps
+    import graft.io.Iterate
+    // AQE wraps the plan in AdaptiveSparkPlanExec (childless until
+    // executed) — disable it while BUILDING these plans so the traversal
+    // sees the real tree; EnsureRequirements runs either way.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val e = edgesOf(pairs)
+    val symSrc = GraphOps.pinnedSym(e, "src")
+    // Hedonic superstep: state broadcast, gather/argmax on the cached layout.
+    val members = Iterate.pin(membersOf((0L to 7L).map(i => (i, i))))
+    val hplan = Hedonic.stepPlanB(symSrc, members, 0.25, lit(true))
+    assert(spineShuffles(hplan) == 0, hplan.queryExecution.executedPlan.toString)
+    // PageRank iteration (tol mode, the wider plan).
+    val vdeg = Iterate.pin(
+      symSrc.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg")))
+    val ranks = Iterate.pin(vdeg.select(col("id"), lit(0.125).as("rank"), col("deg")))
+    val symDst = GraphOps.pinnedSym(e, "dst")
+    val pplan = PageRank.iterPlan(symDst, ranks, vdeg, 8.0, 0.0,
+      bcast = true, withDelta = true, PageRank.Config())
+    assert(spineShuffles(pplan) == 0, pplan.queryExecution.executedPlan.toString)
+    // LPA step.
+    val labels = Iterate.pin(members.select(col("id"), col("community").as("label")))
+    val lplan = LabelPropagation.step(symSrc, labels, bcastState = true)
+    assert(spineShuffles(lplan) == 0, lplan.queryExecution.executedPlan.toString)
+    symSrc.unpersist(); symDst.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("lpa: broadcast-state and shuffle runs produce identical labels") {
     val e = edgesOf(pairs)
     val b = toMap(LabelPropagation.run(e))
