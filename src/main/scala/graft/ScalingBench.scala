@@ -28,10 +28,19 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val nBlocks = sys.env.getOrElse("SPARK_GRAFT_BENCH_BLOCKS", "50").toInt
+    // Shuffle partitions scale with DATA, not cores: at 5000 blocks the
+    // extraction pair aggregate processes ~1e9 rows, and `partitions =
+    // cpus` hands local[8] eight huge hash maps that overflow into
+    // external-sort spills (observed: a single 18+ min spill-bound stage).
+    // Both parallelism levels use the SAME count so the N-vs-4N ratio
+    // measures parallelism, not partitioning; AQE coalesces where 64 is
+    // too many. Override via SPARK_GRAFT_SHUFFLE_PARTS.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+      math.max(64, cpus).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       // AQE re-plans every shuffle stage; on superstep-loop jobs with
       // fixed, known shapes that is pure driver overhead — measurable via
       // SPARK_GRAFT_AQE=true|false.

@@ -333,7 +333,7 @@ object Hedonic {
     // the whole superstep then runs on the cached layout with zero
     // edge-scale exchange — or dst (the gather JOIN key) on the shuffle
     // path, where only the V-row members side re-exchanges per round.
-    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst")
+    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst", sorted = !bcast)
     val edgeCount = sym.count()
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, cfg.checkpointEvery))
 

@@ -62,7 +62,8 @@ object LabelPropagation {
     // broadcast — each iteration is then exchange-free on the cached
     // layout — or dst (the join key) on the shuffle path, where only the
     // V-row label side re-exchanges per round.
-    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst", weighted)
+    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst", weighted,
+      sorted = !bcast)
     var labels = Iterate.pin(init)
     var prevPin: Option[Iterate.Pinned] = None
     var iter = 0

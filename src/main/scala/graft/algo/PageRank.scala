@@ -74,7 +74,8 @@ object PageRank {
     // grouping key (dst) when the state is broadcast — the aggregate then
     // reuses the cached layout and the iteration is exchange-free — or the
     // join key (src) on the shuffle path, where only ranks re-exchange.
-    val sym = GraphOps.pinnedSym(edges, if (bcast) "dst" else "src", cfg.weighted)
+    val sym = GraphOps.pinnedSym(edges, if (bcast) "dst" else "src", cfg.weighted,
+      sorted = !bcast)
     // outdeg / out-strength per vertex.
     val deg =
       if (cfg.weighted)

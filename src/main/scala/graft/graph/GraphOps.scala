@@ -42,12 +42,18 @@ object GraphOps {
     * the E-row edge side — only the V-row state side shuffles per
     * superstep. At 66M edges x 20+ supersteps that cached exchange is the
     * single largest shuffle saving in the engine. Caller must unpersist. */
+  /** `sorted = true` additionally sorts within partitions so the shuffle
+    * path's per-round sort-merge join reuses the cached order. The
+    * broadcast-state strategy needs only the hash partitioning (its
+    * aggregates are hash-based and its joins broadcast), and the in-cache
+    * sort of an E-row table is a real one-time cost (external TimSort +
+    * spill at 133M rows / 8 partitions) — so broadcast-mode callers pass
+    * sorted = false. */
   def pinnedSym(edges: Dataset[Edge], key: String,
-                weighted: Boolean = false): DataFrame = {
+                weighted: Boolean = false, sorted: Boolean = true): DataFrame = {
     val cols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
-    val s = symmetrize(edges).select(cols.map(col): _*)
-      .repartition(col(key)).sortWithinPartitions(key)
-      .persist()
+    val base = symmetrize(edges).select(cols.map(col): _*).repartition(col(key))
+    val s = (if (sorted) base.sortWithinPartitions(key) else base).persist()
     s.count()
     s
   }
