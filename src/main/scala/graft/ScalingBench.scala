@@ -72,17 +72,22 @@ object ScalingBench {
     val nFiles = check.getLong(0)
     require(check.getLong(1) == 0, "sha256 invariant violated")
     val (_, edgesDs) = EdgeExtraction.extract(files, dense = false)
-    // PIN (localCheckpoint), not a plain persist: a persist keeps the whole
-    // extraction lineage referenced, so its self-join shuffle files (tens
-    // of GB at 5000 blocks) cannot be cleaned until the JVM exits — the
-    // superstep phase then competes with dozens of dead shuffle GB for
-    // disk. Pinning truncates the lineage; with
-    // spark.cleaner.periodicGC.interval the extraction shuffles are
-    // reclaimed before the first superstep. Same policy a 100 TB run
-    // needs: never carry the raw-extraction shuffle through the
-    // iterative phase.
+    // Durable pin: WRITE the extracted edge table to parquet and re-read.
+    // This cuts the extraction lineage (its self-join shuffles get
+    // reclaimed before the first superstep) like the old in-memory
+    // localCheckpoint pin did, but with ZERO block-manager footprint —
+    // the memory-pinned edge RDD (67M deserialized rows, ~8 GB) was
+    // observed starving the superstep phase's execution memory into an
+    // eviction storm (every task blocked on the UnifiedMemoryManager lock
+    // while cached blocks dropped to disk one at a time). It is also the
+    // policy a 100 TB run needs: the extracted edge table lives in table
+    // storage, not executor memory; only the iteration-local adjacency
+    // cache (pinnedSym) earns RAM.
     val spark2 = spark; import spark2.implicits._
-    val edges = graft.io.Iterate.pin(edgesDs.toDF()).as[graft.model.Edge]
+    val edgeDir = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scaling") +
+      s"/edges_b${nBlocks}_c$cpus"
+    edgesDs.toDF().write.mode("overwrite").parquet(edgeDir)
+    val edges = spark.read.parquet(edgeDir).as[graft.model.Edge]
     val edgeCount = edges.count()
     val tExtract = (System.nanoTime() - t0) / 1e9
 
