@@ -627,7 +627,7 @@ object Oracles {
 
   /** `k` gated hedonic superstep levels `{p}ms1..{p}ms{k}` chaining from a
     * caller-provided `{p}ms0`, over caller-provided `sym` + `alpha` CTEs
-    * (mirrors Hedonic.stepPinned / stepPinnedB — StrategySpec pins the two
+    * (mirrors Hedonic.stepPinned / stepPlanLocal — StrategySpec pins the two
     * physical strategies to identical decisions, so one SQL mirror serves
     * both). Each Hedonic.run call restarts its superstep counter at 0, so
     * the parity-gate round is always `i - 1` within a level group. */

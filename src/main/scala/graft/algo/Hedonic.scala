@@ -45,12 +45,20 @@ import graft.io.{Checkpoint, Iterate}
   * wanting to move (checked before gating, so it is gate-independent).
   *
   * Superstep cost model (the scaling-efficiency lever): exactly ONE Spark
-  * job per superstep. The new state is pinned (eager cache + RDD-lineage
-  * cut + stats barrier, see graft.io.Iterate) while the wants/moved
-  * counters ride the same pass as accumulators — round 1 ran a pin job
-  * PLUS a scalar-aggregate job per superstep, and that fixed driver cost
-  * was the measured bottleneck at N-vs-4N (BASELINE.md). The previous
-  * round's cache is released as soon as the new state is materialized.
+  * job per superstep, on both physical strategies.
+  *  - Broadcast-state (V within Config.broadcastStateMaxRows): the state
+  *    lives in DRIVER arrays between supersteps; each round it re-enters
+  *    the plan as LocalRelations whose broadcast builds launch no job, and
+  *    the single job ends in a V-row collect (stepPlanLocal /
+  *    runDriverState). Nothing is pinned; wants/moved are counted on the
+  *    collected rows.
+  *  - Co-partitioned shuffle (the 1e9-vertex path): the new state is
+  *    pinned (eager cache + RDD-lineage cut + stats barrier, see
+  *    graft.io.Iterate) while the wants/moved counters ride the same pass
+  *    as accumulators — round 1 ran a pin job PLUS a scalar-aggregate job
+  *    per superstep, and that fixed driver cost was the measured
+  *    bottleneck at N-vs-4N (BASELINE.md). The previous round's cache is
+  *    released as soon as the new state is materialized.
   */
 object Hedonic {
 
@@ -61,7 +69,7 @@ object Hedonic {
       checkpointEvery: Int = 8,
       checkpointDir: Option[String] = None,
       trackPotential: Boolean = false,
-      // Max state rows for the broadcast-state superstep (see stepPinnedB):
+      // Max state rows for the broadcast-state superstep (see stepPlanLocal):
       // below this, the V-row membership is broadcast into a gather over
       // edges cached pre-partitioned on the GROUPING key, and a superstep
       // moves zero edge-scale rows through the shuffle. 0 forces the
@@ -154,13 +162,20 @@ object Hedonic {
     (pinned, pinned.sums(0).toLong, pinned.sums(1).toLong)
   }
 
-  /** Broadcast-state superstep — the same decision function as stepPinned,
-    * different physical strategy (used by run() when V fits the broadcast
-    * budget). The V-row membership is broadcast into the gather join over
-    * `sym` cached pre-partitioned on SRC — the grouping key — so both the
-    * gather aggregate and the per-node argmax run in place on the cached
-    * layout: no edge-scale exchange at all, only V-row traffic (the sizes
-    * aggregate inside the broadcast build and the final state join).
+  /** Broadcast-state superstep plan over DRIVER-LOCAL state relations —
+    * the same decision function as stepPinned, different physical strategy
+    * (used by run() when V fits the broadcast budget).
+    *
+    * `membersL`/`sizesL`/`curInfoL` are LocalRelations built from the
+    * driver-resident state (run() keeps the V-row membership on the driver
+    * between supersteps). That makes every broadcast build JOBLESS —
+    * LocalTableScan collects without launching a Spark job — so a superstep
+    * is exactly ONE job: scan of the edge cache (pre-partitioned on SRC,
+    * the grouping key) -> map-side broadcast gather join -> in-place hash
+    * aggregate -> argmax -> V-row collect back to the driver. Measured on
+    * the 66.7M-edge scaling graph, the previous four broadcast-BUILD jobs
+    * plus the pin job cost ~8.8 s of serial driver time per superstep —
+    * the dominant term in the N-vs-4N efficiency gap.
     *
     * The own-community candidate row (friends = 0) is not union'd in (a
     * union would erase the partitioning the exchange-free plan rests on);
@@ -169,39 +184,24 @@ object Hedonic {
     * the value the union row would have produced, so `wants` (a strict >)
     * decides identically. Ties still keep the current community because
     * wants is false on equality, regardless of which candidate the argmax
-    * struct surfaces. */
-  private[graft] def stepPinnedB(
+    * struct surfaces. Nodes with no gather rows never reach the plan; the
+    * driver merge keeps their community, exactly as the old V-row left
+    * join did. */
+  private[graft] def stepPlanLocal(
       sym: DataFrame,
-      members: DataFrame,
-      alpha: Double,
-      gate: org.apache.spark.sql.Column): (Iterate.Pinned, Long, Long) = {
-    val pinned = Iterate.pinSums(stepPlanB(sym, members, alpha, gate),
-      Seq("wants", "doMove"))
-    (pinned, pinned.sums(0).toLong, pinned.sums(1).toLong)
-  }
-
-  /** The broadcast superstep's (unpinned) plan — exposed so StrategySpec
-    * can assert it stays free of shuffle exchanges. */
-  private[graft] def stepPlanB(
-      sym: DataFrame,
-      members: DataFrame,
+      membersL: DataFrame, // (id, community)
+      sizesL: DataFrame,   // (community, csize)
+      curInfoL: DataFrame, // (id, curComm, curSize)
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
-    val sizes = members.groupBy("community").agg(count(lit(1)).as("csize"))
-    val cur = members.select(col("id"), col("community").as("curComm"))
-    // (id, curComm, curSize): one small broadcast carrying everything the
-    // per-node side needs — curSize feeds the empty-home payoff fallback.
-    val curInfo = cur.join(
-      sizes.select(col("community").as("curComm"), col("csize").as("curSize")),
-      Seq("curComm"))
-    val nbrComm = members.select(col("id").as("dst"), col("community"))
+    val nbrComm = membersL.select(col("id").as("dst"), col("community"))
     val friendRows = sym
       .join(broadcast(nbrComm), Seq("dst"))
       .select(col("src").as("id"), col("community"), lit(1L).as("friends"))
     val cand = friendRows
       .groupBy("id", "community").agg(sum("friends").as("friends"))
-      .join(broadcast(sizes), Seq("community"))
-      .join(broadcast(curInfo), Seq("id"))
+      .join(broadcast(sizesL), Seq("community"))
+      .join(broadcast(curInfoL), Seq("id"))
       .withColumn("isCur", col("community") === col("curComm"))
       .withColumn("strangers",
         col("csize") - col("friends") - when(col("isCur"), 1L).otherwise(0L))
@@ -216,18 +216,13 @@ object Hedonic {
       max(when(col("isCur"), col("payoff"))).as("curP0"),
       first(col("curComm")).as("curComm"),
       first(col("curSize")).as("curSize"))
-    val decided = best.select(
-      col("id"),
-      (col("b.payoff") >
-        coalesce(col("curP0"),
-          lit(0L) * (1.0 - alpha) - (col("curSize") - 1L) * alpha)).as("wants"),
-      col("b.comm").as("bestComm"))
-    // Left join from the full state: nodes absent from the edge table (no
-    // gather rows) keep their community, exactly as the union row gave
-    // them. decided is V rows — broadcast it too, so the whole superstep
-    // plan contains no exchange at all.
-    cur.join(broadcast(decided), Seq("id"), "left")
-      .withColumn("wants", coalesce(col("wants"), lit(false)))
+    best.select(
+        col("id"),
+        (col("b.payoff") >
+          coalesce(col("curP0"),
+            lit(0L) * (1.0 - alpha) - (col("curSize") - 1L) * alpha)).as("wants"),
+        col("b.comm").as("bestComm"),
+        col("curComm"))
       .withColumn("doMove", col("wants") && gate)
       .select(
         col("id"),
@@ -343,6 +338,9 @@ object Hedonic {
       case None          => (0, init.select("id", "community"))
     }
 
+    if (bcast)
+      return runDriverState(edges, sym, startMembers, startStep, a, edgeCount, cfg, ckpt)
+
     var members = startMembers
     var prevPin: Option[Iterate.Pinned] = None
     var metrics = Vector.empty[RunMetrics]
@@ -357,9 +355,7 @@ object Hedonic {
       // granularity, Checkpoint's `every`); the per-superstep lineage/stats
       // pin always happens inside stepPinned regardless.
       val cut = ckpt.isDefined && superstep % cfg.checkpointEvery == 0
-      val (pinned, wanted, moved) =
-        if (bcast) stepPinnedB(sym, members, a, gate)
-        else stepPinned(sym, members, a, gate)
+      val (pinned, wanted, moved) = stepPinned(sym, members, a, gate)
       val next = pinned.df.select("id", "community")
       val pot = if (cfg.trackPotential) potential(edges, next, a) else Double.NaN
       val wallMs = (System.nanoTime() - t0) / 1000000
@@ -380,6 +376,90 @@ object Hedonic {
     }
     sym.unpersist()
     (members, metrics)
+  }
+
+  /** Broadcast-strategy loop with DRIVER-RESIDENT state (V fits the
+    * broadcast budget by definition, so it fits the driver). Each superstep
+    * rebuilds three LocalRelations from the local arrays — members, sizes,
+    * curInfo — feeds stepPlanLocal, and collects the V-row decision back:
+    * ONE Spark job per superstep, nothing pinned, no cached state to
+    * release, no stats growth (every plan roots at LocalRelation + the
+    * cached adjacency). All payoff/argmax/gate arithmetic stays IN-PLAN —
+    * identical expressions to the shuffle path — so results are
+    * bitwise-reproducible across strategies (StrategySpec) and DuckDB
+    * replay (q_hedonic_full etc.) is unaffected. */
+  private def runDriverState(
+      edges: Dataset[Edge],
+      sym: DataFrame,
+      startMembers: DataFrame,
+      startStep: Int,
+      alpha: Double,
+      edgeCount: Long,
+      cfg: Config,
+      ckpt: Option[Checkpoint]): (DataFrame, Seq[RunMetrics]) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val init0 = startMembers.select("id", "community").collect()
+    val n = init0.length
+    val ids = new Array[Long](n)
+    val comms = new Array[Long](n)
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) {
+      ids(i) = init0(i).getLong(0); comms(i) = init0(i).getLong(1)
+      idx(ids(i)) = i; i += 1
+    }
+    def stateDF: DataFrame =
+      (0 until n).map(k => (ids(k), comms(k))).toDF("id", "community")
+
+    var metrics = Vector.empty[RunMetrics]
+    var superstep = startStep
+    var converged = false
+    while (!converged && superstep < cfg.maxSupersteps) {
+      val t0 = System.nanoTime()
+      val gate =
+        if (cfg.parityGating) graft.util.Portable.parityGate(col("id"), superstep)
+        else lit(true)
+      val sizeMap = new scala.collection.mutable.LongMap[Long](n * 2)
+      var j = 0
+      while (j < n) {
+        sizeMap(comms(j)) = sizeMap.getOrElse(comms(j), 0L) + 1L
+        j += 1
+      }
+      val membersL = stateDF
+      val sizesL = sizeMap.toSeq.toDF("community", "csize")
+      val curInfoL = (0 until n)
+        .map(k => (ids(k), comms(k), sizeMap(comms(k))))
+        .toDF("id", "curComm", "curSize")
+      val rows = stepPlanLocal(sym, membersL, sizesL, curInfoL, alpha, gate).collect()
+      var wanted = 0L
+      var moved = 0L
+      var k = 0
+      while (k < rows.length) {
+        val r = rows(k)
+        idx.get(r.getLong(0)) match { // ids outside the state table drop, as before
+          case Some(at) =>
+            if (r.getBoolean(2)) wanted += 1
+            if (r.getBoolean(3)) moved += 1
+            comms(at) = r.getLong(1)
+          case None => ()
+        }
+        k += 1
+      }
+      val pot = if (cfg.trackPotential) potential(edges, stateDF, alpha) else Double.NaN
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      metrics :+= RunMetrics(superstep, moved, pot, wanted, edgeCount, wallMs)
+      if (ckpt.isDefined && superstep % cfg.checkpointEvery == 0) {
+        val metricsJson = Checkpoint.json(Map(
+          "moved" -> moved, "wanted" -> wanted,
+          "potential" -> (if (pot.isNaN) null else pot), "wallMs" -> wallMs))
+        ckpt.get.truncate(stateDF, superstep, metricsJson) // durable snapshot
+      }
+      converged = wanted == 0L
+      superstep += 1
+    }
+    sym.unpersist()
+    (stateDF, metrics)
   }
 
   /** Equilibrium post-condition (reference in_equilibrium,

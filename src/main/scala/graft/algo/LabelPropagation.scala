@@ -21,9 +21,14 @@ import graft.io.Iterate
   * q_lpa_full is oracled end to end) may change each round. Convergence = a
   * superstep where no node (gated or not) would change.
   *
-  * Cost model: ONE job per iteration — the new labels are pinned while the
-  * would-change counter rides the materialization pass as an accumulator
-  * (Iterate.pinSums); the previous round's cache is released immediately.
+  * Cost model: ONE job per iteration on both strategies. Broadcast-state
+  * (small V): labels live in DRIVER arrays between rounds and re-enter the
+  * plan as a LocalRelation (jobless broadcast build); the job ends in a
+  * V-row collect and nothing is pinned (see Hedonic.runDriverState for the
+  * rationale and the measured serial-cost motivation). Shuffle path: the
+  * new labels are pinned while the would-change counter rides the
+  * materialization pass as an accumulator (Iterate.pinSums); the previous
+  * round's cache is released immediately.
   */
 object LabelPropagation {
 
@@ -33,7 +38,7 @@ object LabelPropagation {
     * carry a `weight` column). `bcastState = true` broadcasts the V-row
     * label side into the gather — with `sym` cached pre-partitioned on src
     * (the grouping key) the whole step then runs exchange-free on the
-    * cached layout (see Hedonic.stepPinnedB for the strategy rationale). */
+    * cached layout (see Hedonic.stepPlanLocal for the strategy rationale). */
   def step(sym: DataFrame, labels: DataFrame, weighted: Boolean = false,
            bcastState: Boolean = false): DataFrame = {
     val labSide = labels.select(col("id").as("dst"), col("label").as("nbrLabel"))
@@ -64,12 +69,15 @@ object LabelPropagation {
     // V-row label side re-exchanges per round.
     val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst", weighted,
       sorted = !bcast)
+    if (bcast) return runDriverState(edges.sparkSession, sym, init, maxIter,
+      parityGating, weighted)
+
     var labels = Iterate.pin(init)
     var prevPin: Option[Iterate.Pinned] = None
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val stepped = step(sym, labels, weighted, bcastState = bcast)
+      val stepped = step(sym, labels, weighted, bcastState = false)
       val gate =
         if (parityGating) graft.util.Portable.parityGate(col("id"), iter)
         else lit(true)
@@ -86,5 +94,68 @@ object LabelPropagation {
     }
     sym.unpersist()
     labels
+  }
+
+  /** The driver-state iteration's plan over a LOCAL label relation: gather
+    * votes over the cached layout, per-node argmax, gate evaluated in-plan
+    * (portable md5 parity — DuckDB-replicable). One stage, zero exchanges. */
+  private[graft] def stepPlanLocal(sym: DataFrame, labSideL: DataFrame,
+      weighted: Boolean, gate: org.apache.spark.sql.Column): DataFrame = {
+    val vote = if (weighted) sum(col("weight").cast("double")) else count(lit(1)).cast("double")
+    sym.join(broadcast(labSideL), Seq("dst"))
+      .groupBy(col("src").as("id"), col("nbrLabel"))
+      .agg(vote.as("cnt"))
+      .groupBy("id").agg(
+        max(struct(col("cnt"), (-col("nbrLabel")).as("neg"), col("nbrLabel").as("lab"))).as("b"))
+      .select(col("id"), col("b.lab").as("bestLabel"), gate.as("g"))
+  }
+
+  /** Broadcast-strategy loop with DRIVER-RESIDENT labels; exactly one
+    * Spark job (ending in a V-row collect) per iteration. Decision
+    * semantics identical to the shuffle loop: `wants` = majority label
+    * differs (counted BEFORE gating, so convergence is gate-independent);
+    * a node absent from the vote table keeps its label. */
+  private def runDriverState(spark: org.apache.spark.sql.SparkSession,
+      sym: DataFrame, init: DataFrame, maxIter: Int,
+      parityGating: Boolean, weighted: Boolean): DataFrame = {
+    import spark.implicits._
+    val init0 = init.collect()
+    val n = init0.length
+    val ids = new Array[Long](n)
+    val labs = new Array[Long](n)
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) {
+      ids(i) = init0(i).getLong(0); labs(i) = init0(i).getLong(1)
+      idx(ids(i)) = i; i += 1
+    }
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val gate =
+        if (parityGating) graft.util.Portable.parityGate(col("id"), iter)
+        else lit(true)
+      val labSideL = (0 until n).map(k => (ids(k), labs(k))).toDF("dst", "nbrLabel")
+      val rows = stepPlanLocal(sym, labSideL, weighted, gate).collect()
+      var wanted = 0L
+      var k = 0
+      while (k < rows.length) {
+        val r = rows(k)
+        idx.get(r.getLong(0)) match {
+          case Some(at) =>
+            val best = r.getLong(1)
+            if (best != labs(at)) {
+              wanted += 1
+              if (r.getBoolean(2)) labs(at) = best
+            }
+          case None => ()
+        }
+        k += 1
+      }
+      done = wanted == 0L
+      iter += 1
+    }
+    sym.unpersist()
+    (0 until n).map(k => (ids(k), labs(k))).toDF("id", "label")
   }
 }

@@ -29,24 +29,26 @@ import graft.io.Iterate
   * sort-merge joins):
   *
   *  - broadcast-state (V <= broadcastStateMaxRows, no explicit vertex
-  *    table): the edge table is cached pre-partitioned on dst — the
-  *    GROUPING key — and the V-row rank state is broadcast into the
-  *    contribution join. The join is map-side, and the groupBy(dst) is
-  *    satisfied by the cached partitioning, so an iteration moves ZERO
-  *    edge-scale rows through the shuffle: it is a pure scan of the cached
-  *    adjacency + in-place hash aggregate. This is what makes per-iteration
-  *    cost scale with cores (the N->4N efficiency target): the E-row
-  *    exchange that saturates single-host shuffle bandwidth is gone.
+  *    table): the rank vector lives in DRIVER arrays between iterations;
+  *    each round it re-enters the plan as a LocalRelation (jobless
+  *    broadcast build) joined map-side into a scan of the edge table
+  *    cached pre-partitioned on dst — the GROUPING key — so the aggregate
+  *    runs in place and the single job ends in a V-row collect. An
+  *    iteration moves ZERO edge-scale rows through the shuffle and runs
+  *    zero auxiliary jobs. This is what makes per-iteration cost scale
+  *    with cores (the N->4N efficiency target): both the E-row exchange
+  *    that saturates single-host shuffle bandwidth and the serial
+  *    per-iteration driver cost (broadcast-build jobs, pins) are gone.
   *  - co-partitioned shuffle (large V): edges cached partitioned on src
   *    (the join key); only the V-row state shuffles into the join, and the
   *    E-row contribution aggregate exchanges on dst. This is the 1e9-vertex
   *    path where broadcasting the state would be worse than the shuffle
-  *    (replicating V rows to every executor).
+  *    (replicating V rows to every executor). ONE materializing job pins
+  *    the new state and (in tol mode) accumulates sum|delta| in the same
+  *    pass — no separate convergence job; the previous iteration's cache
+  *    is released as soon as the new one is live.
   *
-  * Either way, ONE materializing job pins the new state and (in tol mode)
-  * accumulates sum|delta| in the same pass — no separate convergence job.
-  * The edge table is persisted once across all iterations; the previous
-  * iteration's cache is released as soon as the new one is live.
+  * The edge table is persisted once across all iterations.
   */
 object PageRank {
 
@@ -82,6 +84,13 @@ object PageRank {
         sym.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
       else
         sym.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
+
+    if (bcast) {
+      val out = runDriverState(edges.sparkSession, sym, deg, v, cfg)
+      sym.unpersist(); verts.unpersist()
+      return out
+    }
+
     // edge-derived vertex sets have min degree 1 by construction — the
     // dangling machinery only wakes up for explicit vertex tables.
     val mayDangle = verticesOpt.isDefined
@@ -101,7 +110,7 @@ object PageRank {
           ranks.filter(col("deg") === 0.0)
             .agg(coalesce(sum("rank"), lit(0.0))).collect()(0).getDouble(0)
         else 0.0
-      val plan = iterPlan(sym, ranks, vdeg, v, dangling, bcast,
+      val plan = iterPlan(sym, ranks, vdeg, v, dangling,
         withDelta = cfg.fixedIter.isEmpty, cfg)
       if (cfg.fixedIter.isEmpty) {
         // tol mode: |delta| vs the previous ranks rides the SAME plan; the
@@ -123,14 +132,60 @@ object PageRank {
     ranks.select("id", "rank")
   }
 
-  /** One iteration's (unpinned) next-state plan — exposed so StrategySpec
-    * can assert the broadcast-state variant stays free of shuffle
-    * exchanges. On the broadcast path the inner deg re-attach visits
-    * exactly the rows the shuffle path's left join does, because a
-    * symmetrized min-degree-1 graph delivers at least one contribution to
-    * every vertex. */
+  /** Broadcast-strategy loop with DRIVER-RESIDENT ranks (V fits the
+    * broadcast budget, hence the driver). Per iteration the rank vector
+    * becomes a LocalRelation — its broadcast build is JOBLESS — so an
+    * iteration is exactly ONE job: cached-adjacency scan, map-side
+    * broadcast join, in-place aggregate on the cached dst partitioning,
+    * V-row collect. Nothing is pinned and no per-iteration broadcast-BUILD
+    * jobs run (the old shape cost ~3.8 s of serial driver time per
+    * iteration on the 66.7M-edge scaling graph). The rank update stays
+    * IN-PLAN, bitwise identical to the shuffle path's expression; only the
+    * tol-mode |delta| sum moves to the driver (same values, different
+    * summation order — a stopping heuristic, not a result). No dangling
+    * term: this path requires an edge-derived vertex set (min degree 1). */
+  private def runDriverState(spark: org.apache.spark.sql.SparkSession,
+      sym: DataFrame, deg: DataFrame, v: Double, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val vd = deg.collect()
+    val n = vd.length
+    val ids = new Array[Long](n)
+    val degs = new Array[Double](n)
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) {
+      ids(i) = vd(i).getLong(0); degs(i) = vd(i).getDouble(1)
+      idx(ids(i)) = i; i += 1
+    }
+    var ranks = Array.fill(n)(1.0 / v)
+    val nIter = cfg.fixedIter.getOrElse(cfg.maxIter)
+    var iter = 0
+    var done = false
+    while (!done && iter < nIter) {
+      val rankSideL = (0 until n).map(k => (ids(k), ranks(k), degs(k)))
+        .toDF("src", "rank", "deg")
+      val rows = iterPlanLocal(sym, rankSideL, v, cfg).collect()
+      val next = ranks.clone() // min-degree-1: every vertex receives a row
+      var delta = 0.0
+      var k = 0
+      while (k < rows.length) {
+        val at = idx(rows(k).getLong(0))
+        val nr = rows(k).getDouble(1)
+        delta += math.abs(nr - ranks(at))
+        next(at) = nr
+        k += 1
+      }
+      ranks = next
+      if (cfg.fixedIter.isEmpty) done = delta < cfg.tol
+      iter += 1
+    }
+    (0 until n).map(k => (ids(k), ranks(k))).toDF("id", "rank")
+  }
+
+  /** One co-partitioned-shuffle iteration's (unpinned) next-state plan —
+    * exposed so StrategySpec can inspect the physical shape. */
   private[graft] def iterPlan(sym: DataFrame, ranks: DataFrame, vdeg: DataFrame,
-      v: Double, dangling: Double, bcast: Boolean, withDelta: Boolean,
+      v: Double, dangling: Double, withDelta: Boolean,
       cfg: Config): DataFrame = {
     val contribCol =
       if (cfg.weighted) col("rank") * col("weight") / col("deg")
@@ -138,21 +193,36 @@ object PageRank {
     val rankSide = ranks.filter(col("deg") > 0.0)
       .select(col("id").as("src"), col("rank"), col("deg"))
     val contribs = sym
-      .join(if (bcast) broadcast(rankSide) else rankSide, Seq("src"))
+      .join(rankSide, Seq("src"))
       .select(col("dst"), contribCol.as("c"))
       .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
     val newRank =
       lit((1.0 - cfg.damping) / v) +
         lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling / v))
-    val base =
-      if (bcast) contribs.join(broadcast(vdeg), Seq("id"))
-      else vdeg.join(contribs, Seq("id"), "left")
+    val base = vdeg.join(contribs, Seq("id"), "left")
     if (withDelta) {
       val oldSide = ranks.select(col("id"), col("rank").as("old"))
-      base.join(if (bcast) broadcast(oldSide) else oldSide, Seq("id"))
+      base.join(oldSide, Seq("id"))
         .select(col("id"), newRank.as("rank"), col("deg"),
           abs(newRank - col("old")).as("delta"))
     } else base.select(col("id"), newRank.as("rank"), col("deg"))
+  }
+
+  /** The driver-state iteration's plan over a LOCAL rank relation —
+    * exposed so StrategySpec can assert it stays free of shuffle
+    * exchanges. */
+  private[graft] def iterPlanLocal(sym: DataFrame, rankSideL: DataFrame,
+      v: Double, cfg: Config): DataFrame = {
+    val contribCol =
+      if (cfg.weighted) col("rank") * col("weight") / col("deg")
+      else col("rank") / col("deg")
+    val newRank =
+      lit((1.0 - cfg.damping) / v) +
+        lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(0.0))
+    sym.join(broadcast(rankSideL), Seq("src"))
+      .select(col("dst"), contribCol.as("c"))
+      .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
+      .select(col("id"), newRank.as("rank"))
   }
 
   /** Top-k vertices by rank (SURVEY.md §2.6 addition). */

@@ -79,20 +79,24 @@ class StrategySpec extends SparkSpec {
     try {
     val e = edgesOf(pairs)
     val symSrc = GraphOps.pinnedSym(e, "src")
-    // Hedonic superstep: state broadcast, gather/argmax on the cached layout.
-    val members = Iterate.pin(membersOf((0L to 7L).map(i => (i, i))))
-    val hplan = Hedonic.stepPlanB(symSrc, members, 0.25, lit(true))
+    // Hedonic superstep: driver-local state relations broadcast into the
+    // gather/argmax over the cached layout (the shape run() builds each
+    // superstep from its driver-resident arrays).
+    import spark.implicits._
+    val st = (0L to 7L).map(i => (i, i))
+    val membersL = st.toDF("id", "community")
+    val sizesL = st.map { case (_, c) => (c, 1L) }.toDF("community", "csize")
+    val curInfoL = st.map { case (id, c) => (id, c, 1L) }.toDF("id", "curComm", "curSize")
+    val hplan = Hedonic.stepPlanLocal(symSrc, membersL, sizesL, curInfoL, 0.25, lit(true))
     assert(spineShuffles(hplan) == 0, hplan.queryExecution.executedPlan.toString)
-    // PageRank iteration (tol mode, the wider plan).
-    val vdeg = Iterate.pin(
-      symSrc.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg")))
-    val ranks = Iterate.pin(vdeg.select(col("id"), lit(0.125).as("rank"), col("deg")))
+    // PageRank driver-state iteration (local rank relation).
     val symDst = GraphOps.pinnedSym(e, "dst")
-    val pplan = PageRank.iterPlan(symDst, ranks, vdeg, 8.0, 0.0,
-      bcast = true, withDelta = true, PageRank.Config())
+    val rankSideL = (0L to 7L).map(i => (i, 0.125, 2.0)).toDF("src", "rank", "deg")
+    val pplan = PageRank.iterPlanLocal(symDst, rankSideL, 8.0, PageRank.Config())
     assert(spineShuffles(pplan) == 0, pplan.queryExecution.executedPlan.toString)
     // LPA step.
-    val labels = Iterate.pin(members.select(col("id"), col("community").as("label")))
+    val labels = Iterate.pin(
+      membersOf((0L to 7L).map(i => (i, i))).select(col("id"), col("community").as("label")))
     val lplan = LabelPropagation.step(symSrc, labels, bcastState = true)
     assert(spineShuffles(lplan) == 0, lplan.queryExecution.executedPlan.toString)
     symSrc.unpersist(); symDst.unpersist()
