@@ -50,34 +50,68 @@ object Dedup {
     docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
 
   /** Exact n-gram Jaccard pairs >= threshold over the CAPPED shingle
-    * universe. Candidates = pairs sharing at least one shingle (equi-join
-    * on shingle), so disjoint docs never meet.
+    * universe, via PREFIX-FILTERED candidate generation (the standard
+    * exact set-similarity join — Vernica/PPJoin family): result set is
+    * IDENTICAL to the naive all-sharing-pairs join (same DuckDB oracle),
+    * only the candidate space shrinks.
+    *
+    * Why: joining on EVERY shared shingle costs sum_sh df(sh)^2 rows — the
+    * common near-cap shingles dominate. Prefix filtering joins only each
+    * doc's RAREST shingles: order the universe globally by (df asc, sh),
+    * keep per doc the first L = sz - ceil(t*sz) + 1 shingles; any pair
+    * with J >= t must have |A inter B| >= ceil(t*|A|), and a shared element
+    * must then fall inside both prefixes (else the <= ceil(t*sz)-1-sized
+    * suffixes would have to hold all of it — pigeonhole). ceil is taken
+    * with a 1e-9 slack so float noise can only LENGTHEN the prefix (more
+    * candidates, never a miss). Surviving pairs are verified exactly: a
+    * candidate-restricted join back through the full shingle table counts
+    * the true intersection (no per-doc arrays — row sizes stay bounded at
+    * any corpus scale).
     *
     * `maxShingleDF` is the skew guard (round-1 fix): a shingle shared by k
     * docs yields C(k,2) candidate rows, so one stopword-ish trigram shared
     * by 10^6 docs is a 10^12-row join. Shingles with document frequency
-    * above the cap are dropped BEFORE the self-join — exactly the
+    * above the cap are dropped BEFORE anything else — exactly the
     * EdgeExtraction.cooccurrence hub-path cap — and doc sizes are counted
     * over the kept universe so the Jaccard stays internally consistent
     * (the DuckDB oracle mirrors the cap). */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxShingleDF: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh0 = shingleTable(docs, idCol, textCol, n)
-    val kept = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDF).select("sh")
-    // persisted: consumed by the sizes aggregate AND both sides of the
-    // candidate self-join — unpinned, the tokenize+shingle+cap pipeline
-    // re-ran three times (a full corpus re-scan each, at 100 TB).
-    val sh = sh0.join(kept, Seq("sh")).persist()
+    val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDF)
+    // persisted WITH df: consumed by the sizes aggregate, the prefix
+    // ranking, and the verification join — unpinned, the tokenize+
+    // shingle+cap pipeline re-ran per consumer (a full corpus re-scan
+    // each, at 100 TB).
+    val sh = sh0.join(dfs, Seq("sh")).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("sh"), col("id").as("ida"))
-      .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
+    // Global canonical order (df asc, sh asc) = rarest-first; rank within
+    // doc, keep the prefix. The window shuffles by id only (V-scale).
+    val pref = sh
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+      .join(sizes, Seq("id"))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("sh"), col("id"), col("sz"))
+    // Candidates: prefix-prefix equi-join + the length filter
+    // (t*max(sz) <= min(sz) is necessary for J >= t; epsilon-slack again
+    // only loosens). Both filters prune; the final jraw test decides.
+    val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"))
+      .join(pref.select(col("sh"), col("id").as("idb"), col("sz").as("szb")), Seq("sh"))
       .filter(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+      .filter(lit(threshold) * greatest(col("sza"), col("szb")) - lit(1e-9)
+        <= least(col("sza"), col("szb")))
+      .select("ida", "idb", "sza", "szb").distinct()
+    // Exact verification restricted to candidates: count true shared
+    // shingles with two hash joins through the full kept table.
+    val inter = cands
+      .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+      .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
+      .groupBy("ida", "idb", "sza", "szb").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("id").as("ida"), col("sz").as("sza")), Seq("ida"))
-      .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), Seq("idb"))
       // filter on the UNROUNDED value (oracle SQL does the same), round
       // only for output — keeps threshold semantics engine-identical.
       .withColumn("jraw",

@@ -106,6 +106,38 @@ class BlockingSpec extends SparkSpec {
     assert(pairs.keys.forall { case (a, b) => a == 100L && b == 101L })
   }
 
+  test("jaccardPairs: prefix-filtered join is EXACT vs the naive all-sharing-pairs form") {
+    import spark.implicits._
+    // seeded corpus with overlapping vocabulary: many docs share shingles
+    // at varying rates, so prefixes, length filter, and verification all
+    // get exercised; thresholds include one where t*sz is integral (the
+    // float-ceil hazard the 1e-9 slack guards).
+    val rnd = new scala.util.Random(17L)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      val len = 6 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.25, 0.4, 0.5)) {
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val naive = sh.select(col("sh"), col("id").as("ida"))
+        .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
+        .filter(col("ida") < col("idb"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("ida"), col("sz").as("sza")), Seq("ida"))
+        .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), Seq("idb"))
+        .withColumn("j", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+        .filter(col("j") >= t)
+        .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb")) ->
+          math.rint(r.getAs[Double]("j") * 1e6) / 1e6).toMap
+      val prefix = Dedup.jaccardPairs(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(prefix == naive,
+        s"t=$t missing=${naive.keySet -- prefix.keySet} spurious=${prefix.keySet -- naive.keySet}")
+    }
+  }
+
   test("jaccardPairs: capped result equals uncapped when no shingle exceeds the cap") {
     import spark.implicits._
     val docs = Seq(
