@@ -53,6 +53,23 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Probe-only stage telemetry: wall vs summed task time per stage shows
+    // how much of a superstep is parallel work vs serial driver overhead.
+    if (sys.env.get("SPARK_GRAFT_STEP_TIMING").exists(_.toBoolean))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield c - s
+          System.err.println(
+            s"stageTiming id=${si.stageId} tasks=${si.numTasks} " +
+            s"wallMs=${wall.getOrElse(-1L)} " +
+            s"taskSumMs=${si.taskMetrics.executorRunTime} " +
+            s"cpuSumMs=${si.taskMetrics.executorCpuTime / 1000000}")
+        }
+      })
 
     val pOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_POUT", "0.0005").toDouble
     val cfg = RepoTable.Config(nBlocks = nBlocks, reposPerBlock = 100,
@@ -60,36 +77,45 @@ object ScalingBench {
 
     val sparse = sys.env.get("SPARK_GRAFT_BENCH_SPARSE").exists(_.toBoolean)
     val t0 = System.nanoTime()
-    val gen = if (sparse) RepoTable.generateSparse(spark, cfg)
-              else RepoTable.generate(spark, cfg)
-    // NOT cached: the wide (string) file table is ~100 B/row; deterministic
-    // regeneration from seeded hashes is cheaper than caching it. One pass
-    // does row count + the per-row sha invariant.
-    val files = RepoTable.withSha(gen)
-    val check = files.agg(
-      count(lit(1)).as("n"),
-      sum((col("sha") =!= sha2(col("content"), 256)).cast("long")).as("bad")).collect()(0)
-    val nFiles = check.getLong(0)
-    require(check.getLong(1) == 0, "sha256 invariant violated")
-    val (_, edgesDs) = EdgeExtraction.extract(files, dense = false)
-    // Durable pin: WRITE the extracted edge table to parquet and re-read.
-    // This cuts the extraction lineage (its self-join shuffles get
-    // reclaimed before the first superstep) like the old in-memory
-    // localCheckpoint pin did, but with ZERO block-manager footprint —
-    // the memory-pinned edge RDD (67M deserialized rows, ~8 GB) was
-    // observed starving the superstep phase's execution memory into an
-    // eviction storm (every task blocked on the UnifiedMemoryManager lock
-    // while cached blocks dropped to disk one at a time). It is also the
-    // policy a 100 TB run needs: the extracted edge table lives in table
-    // storage, not executor memory; only the iteration-local adjacency
-    // cache (pinnedSym) earns RAM.
     val spark2 = spark; import spark2.implicits._
-    val edgeDir = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scaling") +
-      s"/edges_b${nBlocks}_c$cpus"
-    edgesDs.toDF().write.mode("overwrite").parquet(edgeDir)
-    val edges = spark.read.parquet(edgeDir).as[graft.model.Edge]
+    // SPARK_GRAFT_EDGES_DIR reuses an already-extracted edge parquet
+    // (written by a previous run below) so iteration-phase experiments
+    // don't pay the extraction phase again. Scaling-evidence runs leave it
+    // unset and run the full pipeline.
+    val (edges, nFiles) = sys.env.get("SPARK_GRAFT_EDGES_DIR") match {
+      case Some(dir) =>
+        (spark.read.parquet(dir).as[graft.model.Edge], 0L)
+      case None =>
+        val gen = if (sparse) RepoTable.generateSparse(spark, cfg)
+                  else RepoTable.generate(spark, cfg)
+        // NOT cached: the wide (string) file table is ~100 B/row; deterministic
+        // regeneration from seeded hashes is cheaper than caching it. One pass
+        // does row count + the per-row sha invariant.
+        val files = RepoTable.withSha(gen)
+        val check = files.agg(
+          count(lit(1)).as("n"),
+          sum((col("sha") =!= sha2(col("content"), 256)).cast("long")).as("bad")).collect()(0)
+        require(check.getLong(1) == 0, "sha256 invariant violated")
+        val (_, edgesDs) = EdgeExtraction.extract(files, dense = false)
+        // Durable pin: WRITE the extracted edge table to parquet and re-read.
+        // This cuts the extraction lineage (its self-join shuffles get
+        // reclaimed before the first superstep) like the old in-memory
+        // localCheckpoint pin did, but with ZERO block-manager footprint —
+        // the memory-pinned edge RDD (67M deserialized rows, ~8 GB) was
+        // observed starving the superstep phase's execution memory into an
+        // eviction storm (every task blocked on the UnifiedMemoryManager lock
+        // while cached blocks dropped to disk one at a time). It is also the
+        // policy a 100 TB run needs: the extracted edge table lives in table
+        // storage, not executor memory; only the iteration-local adjacency
+        // cache (pinnedSym) earns RAM.
+        val edgeDir = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/tmp/graft_scaling") +
+          s"/edges_b${nBlocks}_c$cpus"
+        edgesDs.toDF().write.mode("overwrite").parquet(edgeDir)
+        (spark.read.parquet(edgeDir).as[graft.model.Edge], check.getLong(0))
+    }
     val edgeCount = edges.count()
     val tExtract = (System.nanoTime() - t0) / 1e9
+    val maxSS = sys.env.getOrElse("SPARK_GRAFT_MAX_SS", "30").toInt
 
     val verts = GraphOps.vertices(edges)
     val vCount = verts.count()
@@ -103,7 +129,7 @@ object ScalingBench {
     // Hedonic to convergence from singletons.
     val t1 = System.nanoTime()
     val (members, metrics) = Hedonic.run(edges, init,
-      Hedonic.Config(maxSupersteps = 30, broadcastStateMaxRows = bcastMax))
+      Hedonic.Config(maxSupersteps = maxSS, broadcastStateMaxRows = bcastMax))
     val tHed = (System.nanoTime() - t1) / 1e9
     System.err.println("superstep wallMs: " + metrics.map(_.wallMs).mkString(","))
     val supersteps = metrics.size
@@ -113,8 +139,9 @@ object ScalingBench {
     // PageRank: fixed 10 iterations (the per-iteration cost is the metric;
     // a tol run adds a delta-join per iteration, timed separately).
     val t2 = System.nanoTime()
-    PageRank.run(edges,
-      PageRank.Config(fixedIter = Some(10), broadcastStateMaxRows = bcastMax)).count()
+    if (!sys.env.get("SPARK_GRAFT_SKIP_PR").exists(_.toBoolean))
+      PageRank.run(edges,
+        PageRank.Config(fixedIter = Some(10), broadcastStateMaxRows = bcastMax)).count()
     val tPr10 = (System.nanoTime() - t2) / 1e9
     val prEdgesPerSec = 2.0 * edgeCount * 10 / tPr10
 

@@ -48,10 +48,10 @@ import graft.io.{Checkpoint, Iterate}
   * job per superstep, on both physical strategies.
   *  - Broadcast-state (V within Config.broadcastStateMaxRows): the state
   *    lives in DRIVER arrays between supersteps; each round it re-enters
-  *    the plan as LocalRelations whose broadcast builds launch no job, and
-  *    the single job ends in a V-row collect (stepPlanLocal /
-  *    runDriverState). Nothing is pinned; wants/moved are counted on the
-  *    collected rows.
+  *    the plan as broadcast primitive maps read through codegen'd lookup
+  *    expressions (graft.util.StateMap), and the single single-stage job
+  *    ends in a wanter-row collect (stepPlanMap / runDriverState). Nothing
+  *    is pinned; wants/moved are counted on the collected rows.
   *  - Co-partitioned shuffle (the 1e9-vertex path): the new state is
   *    pinned (eager cache + RDD-lineage cut + stats barrier, see
   *    graft.io.Iterate) while the wants/moved counters ride the same pass
@@ -162,46 +162,49 @@ object Hedonic {
     (pinned, pinned.sums(0).toLong, pinned.sums(1).toLong)
   }
 
-  /** Broadcast-state superstep plan over DRIVER-LOCAL state relations —
-    * the same decision function as stepPinned, different physical strategy
-    * (used by run() when V fits the broadcast budget).
+  /** Broadcast-state superstep plan over BROADCAST-MAP state — the same
+    * decision function as stepPinned, different physical strategy (used by
+    * run() when V fits the broadcast budget).
     *
-    * `membersL`/`sizesL`/`curInfoL` are LocalRelations built from the
-    * driver-resident state (run() keeps the V-row membership on the driver
-    * between supersteps). That makes every broadcast build JOBLESS —
-    * LocalTableScan collects without launching a Spark job — so a superstep
-    * is exactly ONE job: scan of the edge cache (pre-partitioned on SRC,
-    * the grouping key) -> map-side broadcast gather join -> in-place hash
-    * aggregate -> argmax -> V-row collect back to the driver. Measured on
-    * the 66.7M-edge scaling graph, the previous four broadcast-BUILD jobs
-    * plus the pin job cost ~8.8 s of serial driver time per superstep —
-    * the dominant term in the N-vs-4N efficiency gap.
+    * The driver-resident state enters the plan as two
+    * `sparkContext.broadcast` primitive maps (id -> community,
+    * community -> size) read through codegen'd lookup expressions
+    * (graft.util.StateMap), NOT as LocalRelations under broadcast hash
+    * joins: a BroadcastExchange over a LocalRelation launches a REAL job
+    * per build (`executeCollectIterator` runs `leafNodeDefaultParallelism`
+    * tasks with the V rows serialized into the closures) — measured at
+    * three such jobs and 2-5 s of flat serial driver time per superstep on
+    * the 66.7M-edge scaling graph. With map lookups a superstep is ONE
+    * single-stage job: scan of the edge cache (pre-partitioned on SRC, the
+    * grouping key) -> in-place hash aggregate -> argmax -> wanter-row
+    * collect back to the driver.
     *
-    * The own-community candidate row (friends = 0) is not union'd in (a
-    * union would erase the partitioning the exchange-free plan rests on);
-    * instead the current payoff falls back to the closed form
+    * Decision-identical details vs the shuffle path (StrategySpec pins
+    * them): the own-community candidate row (friends = 0) is not union'd
+    * in; the current payoff falls back to the closed form
     * 0*(1-a) - (csize-1)*a when the node has no friends at home — bitwise
     * the value the union row would have produced, so `wants` (a strict >)
-    * decides identically. Ties still keep the current community because
-    * wants is false on equality, regardless of which candidate the argmax
-    * struct surfaces. Nodes with no gather rows never reach the plan; the
-    * driver merge keeps their community, exactly as the old V-row left
-    * join did. */
-  private[graft] def stepPlanLocal(
+    * decides identically. Ties keep the current community because wants is
+    * false on equality. The two isNotNull filters reproduce the inner
+    * joins' drop of dst/id outside the state table; nodes with no gather
+    * rows never reach the plan and the driver merge keeps their community.
+    * Only rows with wants = true are collected — rows that decide "stay"
+    * change nothing and are counted nowhere, so the V-row collect shrinks
+    * to the mover frontier as the run converges. */
+  private[graft] def stepPlanMap(
       sym: DataFrame,
-      membersL: DataFrame, // (id, community)
-      sizesL: DataFrame,   // (community, csize)
-      curInfoL: DataFrame, // (id, curComm, curSize)
+      commOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      sizeOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
-    val nbrComm = membersL.select(col("id").as("dst"), col("community"))
-    val friendRows = sym
-      .join(broadcast(nbrComm), Seq("dst"))
-      .select(col("src").as("id"), col("community"), lit(1L).as("friends"))
-    val cand = friendRows
-      .groupBy("id", "community").agg(sum("friends").as("friends"))
-      .join(broadcast(sizesL), Seq("community"))
-      .join(broadcast(curInfoL), Seq("id"))
+    import graft.util.StateMap
+    val cand = sym
+      .select(col("src").as("id"), StateMap.lookup(commOf, col("dst")).as("community"))
+      .filter(col("community").isNotNull)
+      .groupBy("id", "community").agg(sum(lit(1L)).as("friends"))
+      .withColumn("csize", StateMap.lookup(sizeOf, col("community")))
+      .withColumn("curComm", StateMap.lookup(commOf, col("id")))
+      .filter(col("curComm").isNotNull)
       .withColumn("isCur", col("community") === col("curComm"))
       .withColumn("strangers",
         col("csize") - col("friends") - when(col("isCur"), 1L).otherwise(0L))
@@ -213,22 +216,18 @@ object Hedonic {
         col("isCur").cast("int").as("ic"),
         (-col("community")).as("negc"),
         col("community").as("comm"))).as("b"),
-      max(when(col("isCur"), col("payoff"))).as("curP0"),
-      first(col("curComm")).as("curComm"),
-      first(col("curSize")).as("curSize"))
-    best.select(
+      max(when(col("isCur"), col("payoff"))).as("curP0"))
+    best
+      .withColumn("curComm", StateMap.lookup(commOf, col("id")))
+      .withColumn("curSize", StateMap.lookup(sizeOf, col("curComm")))
+      .select(
         col("id"),
         (col("b.payoff") >
           coalesce(col("curP0"),
             lit(0L) * (1.0 - alpha) - (col("curSize") - 1L) * alpha)).as("wants"),
-        col("b.comm").as("bestComm"),
-        col("curComm"))
-      .withColumn("doMove", col("wants") && gate)
-      .select(
-        col("id"),
-        when(col("doMove"), col("bestComm")).otherwise(col("curComm")).as("community"),
-        col("wants"),
-        col("doMove"))
+        col("b.comm").as("bestComm"))
+      .filter(col("wants"))
+      .select(col("id"), col("bestComm"), gate.as("doMove"))
   }
 
   /** M4 one-pass hedonic improvement at alpha = 0 (reference
@@ -380,14 +379,18 @@ object Hedonic {
 
   /** Broadcast-strategy loop with DRIVER-RESIDENT state (V fits the
     * broadcast budget by definition, so it fits the driver). Each superstep
-    * rebuilds three LocalRelations from the local arrays — members, sizes,
-    * curInfo — feeds stepPlanLocal, and collects the V-row decision back:
-    * ONE Spark job per superstep, nothing pinned, no cached state to
-    * release, no stats growth (every plan roots at LocalRelation + the
-    * cached adjacency). All payoff/argmax/gate arithmetic stays IN-PLAN —
-    * identical expressions to the shuffle path — so results are
-    * bitwise-reproducible across strategies (StrategySpec) and DuckDB
-    * replay (q_hedonic_full etc.) is unaffected. */
+    * broadcasts two primitive maps built from the local arrays (id ->
+    * community, community -> size), feeds stepPlanMap, and collects only
+    * the WANTER rows back: ONE single-stage Spark job per superstep,
+    * nothing pinned, no cached state to release, no stats growth. The
+    * round number enters the parity gate via StateMap.intRef so every
+    * superstep's generated code is byte-identical (Janino cache hit
+    * instead of a fresh ~0.5-1 s compile per round). All payoff/argmax/
+    * gate arithmetic stays IN-PLAN — identical expressions to the shuffle
+    * path — so results are bitwise-reproducible across strategies
+    * (StrategySpec) and DuckDB replay (q_hedonic_full etc.) is
+    * unaffected. Each round's broadcasts are destroyed once the collect
+    * lands so a long run doesn't accumulate blocks. */
   private def runDriverState(
       edges: Dataset[Edge],
       sym: DataFrame,
@@ -412,13 +415,16 @@ object Hedonic {
     def stateDF: DataFrame =
       (0 until n).map(k => (ids(k), comms(k))).toDF("id", "community")
 
+    val sc = spark.sparkContext
+    val timing = sys.env.get("SPARK_GRAFT_STEP_TIMING").exists(_.toBoolean)
     var metrics = Vector.empty[RunMetrics]
     var superstep = startStep
     var converged = false
     while (!converged && superstep < cfg.maxSupersteps) {
       val t0 = System.nanoTime()
       val gate =
-        if (cfg.parityGating) graft.util.Portable.parityGate(col("id"), superstep)
+        if (cfg.parityGating)
+          graft.util.Portable.parityGate(col("id"), graft.util.StateMap.intRef(superstep))
         else lit(true)
       val sizeMap = new scala.collection.mutable.LongMap[Long](n * 2)
       var j = 0
@@ -426,12 +432,15 @@ object Hedonic {
         sizeMap(comms(j)) = sizeMap.getOrElse(comms(j), 0L) + 1L
         j += 1
       }
-      val membersL = stateDF
-      val sizesL = sizeMap.toSeq.toDF("community", "csize")
-      val curInfoL = (0 until n)
-        .map(k => (ids(k), comms(k), sizeMap(comms(k))))
-        .toDF("id", "curComm", "curSize")
-      val rows = stepPlanLocal(sym, membersL, sizesL, curInfoL, alpha, gate).collect()
+      val tSizes = System.nanoTime()
+      val commB = sc.broadcast(graft.util.StateMap.longLong(ids, comms, n))
+      val sizeB = sc.broadcast(graft.util.StateMap.longLong(sizeMap))
+      val tLocal = System.nanoTime()
+      val rows = stepPlanMap(sym, commB, sizeB, alpha, gate).collect()
+      val tJob = System.nanoTime()
+      // Every collected row is a wanter (wants = true pre-filtered in-plan);
+      // doMove carries the gate. Non-wanters change nothing and are not
+      // collected — identical counters and state to the old full collect.
       var wanted = 0L
       var moved = 0L
       var k = 0
@@ -439,13 +448,17 @@ object Hedonic {
         val r = rows(k)
         idx.get(r.getLong(0)) match { // ids outside the state table drop, as before
           case Some(at) =>
-            if (r.getBoolean(2)) wanted += 1
-            if (r.getBoolean(3)) moved += 1
-            comms(at) = r.getLong(1)
+            wanted += 1
+            if (r.getBoolean(2)) { moved += 1; comms(at) = r.getLong(1) }
           case None => ()
         }
         k += 1
       }
+      commB.destroy(); sizeB.destroy()
+      if (timing) System.err.println(
+        f"stepTiming ss=$superstep sizes=${(tSizes - t0) / 1e6}%.0f " +
+        f"local=${(tLocal - tSizes) / 1e6}%.0f job=${(tJob - tLocal) / 1e6}%.0f " +
+        f"merge=${(System.nanoTime() - tJob) / 1e6}%.0f rows=${rows.length}")
       val pot = if (cfg.trackPotential) potential(edges, stateDF, alpha) else Double.NaN
       val wallMs = (System.nanoTime() - t0) / 1000000
       metrics :+= RunMetrics(superstep, moved, pot, wanted, edgeCount, wallMs)

@@ -23,9 +23,10 @@ import graft.io.Iterate
   *
   * Cost model: ONE job per iteration on both strategies. Broadcast-state
   * (small V): labels live in DRIVER arrays between rounds and re-enter the
-  * plan as a LocalRelation (jobless broadcast build); the job ends in a
-  * V-row collect and nothing is pinned (see Hedonic.runDriverState for the
-  * rationale and the measured serial-cost motivation). Shuffle path: the
+  * plan as a broadcast id -> label primitive map read through codegen'd
+  * lookups (graft.util.StateMap); the single-stage job ends in a
+  * changer-row collect and nothing is pinned (see Hedonic.runDriverState
+  * for the rationale and the measured serial-cost motivation). Shuffle path: the
   * new labels are pinned while the would-change counter rides the
   * materialization pass as an accumulator (Iterate.pinSums); the previous
   * round's cache is released immediately.
@@ -96,17 +97,30 @@ object LabelPropagation {
     labels
   }
 
-  /** The driver-state iteration's plan over a LOCAL label relation: gather
-    * votes over the cached layout, per-node argmax, gate evaluated in-plan
-    * (portable md5 parity — DuckDB-replicable). One stage, zero exchanges. */
-  private[graft] def stepPlanLocal(sym: DataFrame, labSideL: DataFrame,
+  /** The driver-state iteration's plan over a broadcast id -> label map
+    * (graft.util.StateMap lookup expressions — see Hedonic.stepPlanMap for
+    * why this beats LocalRelation + broadcast join): gather votes over the
+    * cached layout, per-node argmax, gate evaluated in-plan (portable md5
+    * parity — DuckDB-replicable). One single-stage job, zero exchanges.
+    * Only CHANGER rows (majority label differs from current) are returned
+    * — non-changers change nothing and are counted nowhere, mirroring the
+    * old driver merge's `best != labs(at)` guard; the isNotNull filters
+    * mirror the inner join's drop of dst/id outside the label state. */
+  private[graft] def stepPlanMap(sym: DataFrame,
+      labOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
       weighted: Boolean, gate: org.apache.spark.sql.Column): DataFrame = {
+    import graft.util.StateMap
     val vote = if (weighted) sum(col("weight").cast("double")) else count(lit(1)).cast("double")
-    sym.join(broadcast(labSideL), Seq("dst"))
-      .groupBy(col("src").as("id"), col("nbrLabel"))
+    sym
+      .select(col("src").as("id"), StateMap.lookup(labOf, col("dst")).as("nbrLabel"),
+        (if (weighted) col("weight") else lit(1L)).as("weight"))
+      .filter(col("nbrLabel").isNotNull)
+      .groupBy("id", "nbrLabel")
       .agg(vote.as("cnt"))
       .groupBy("id").agg(
         max(struct(col("cnt"), (-col("nbrLabel")).as("neg"), col("nbrLabel").as("lab"))).as("b"))
+      .withColumn("cur", StateMap.lookup(labOf, col("id")))
+      .filter(col("cur").isNotNull && col("b.lab") =!= col("cur"))
       .select(col("id"), col("b.lab").as("bestLabel"), gate.as("g"))
   }
 
@@ -129,25 +143,27 @@ object LabelPropagation {
       ids(i) = init0(i).getLong(0); labs(i) = init0(i).getLong(1)
       idx(ids(i)) = i; i += 1
     }
+    val sc = spark.sparkContext
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val gate =
-        if (parityGating) graft.util.Portable.parityGate(col("id"), iter)
+        if (parityGating)
+          graft.util.Portable.parityGate(col("id"), graft.util.StateMap.intRef(iter))
         else lit(true)
-      val labSideL = (0 until n).map(k => (ids(k), labs(k))).toDF("dst", "nbrLabel")
-      val rows = stepPlanLocal(sym, labSideL, weighted, gate).collect()
+      val labB = sc.broadcast(graft.util.StateMap.longLong(ids, labs, n))
+      val rows = stepPlanMap(sym, labB, weighted, gate).collect()
+      labB.destroy()
+      // Every collected row is a changer (best != current, filtered
+      // in-plan) — identical counters and state to the old full collect.
       var wanted = 0L
       var k = 0
       while (k < rows.length) {
         val r = rows(k)
         idx.get(r.getLong(0)) match {
           case Some(at) =>
-            val best = r.getLong(1)
-            if (best != labs(at)) {
-              wanted += 1
-              if (r.getBoolean(2)) labs(at) = best
-            }
+            wanted += 1
+            if (r.getBoolean(2)) labs(at) = r.getLong(1)
           case None => ()
         }
         k += 1

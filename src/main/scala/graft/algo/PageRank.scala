@@ -30,10 +30,11 @@ import graft.io.Iterate
   *
   *  - broadcast-state (V <= broadcastStateMaxRows, no explicit vertex
   *    table): the rank vector lives in DRIVER arrays between iterations;
-  *    each round it re-enters the plan as a LocalRelation (jobless
-  *    broadcast build) joined map-side into a scan of the edge table
-  *    cached pre-partitioned on dst — the GROUPING key — so the aggregate
-  *    runs in place and the single job ends in a V-row collect. An
+  *    each round it re-enters the plan as a broadcast id -> rank primitive
+  *    map read through codegen'd lookups (graft.util.StateMap) inside a
+  *    scan of the edge table cached pre-partitioned on dst — the GROUPING
+  *    key — so the aggregate runs in place and the single job ends in a
+  *    V-row collect. An
   *    iteration moves ZERO edge-scale rows through the shuffle and runs
   *    zero auxiliary jobs. This is what makes per-iteration cost scale
   *    with cores (the N->4N efficiency target): both the E-row exchange
@@ -133,20 +134,24 @@ object PageRank {
   }
 
   /** Broadcast-strategy loop with DRIVER-RESIDENT ranks (V fits the
-    * broadcast budget, hence the driver). Per iteration the rank vector
-    * becomes a LocalRelation — its broadcast build is JOBLESS — so an
-    * iteration is exactly ONE job: cached-adjacency scan, map-side
-    * broadcast join, in-place aggregate on the cached dst partitioning,
-    * V-row collect. Nothing is pinned and no per-iteration broadcast-BUILD
-    * jobs run (the old shape cost ~3.8 s of serial driver time per
-    * iteration on the 66.7M-edge scaling graph). The rank update stays
-    * IN-PLAN, bitwise identical to the shuffle path's expression; only the
-    * tol-mode |delta| sum moves to the driver (same values, different
-    * summation order — a stopping heuristic, not a result). No dangling
-    * term: this path requires an edge-derived vertex set (min degree 1). */
+    * broadcast budget, hence the driver). Per iteration the rank vector is
+    * broadcast as a primitive id -> rank map read through codegen'd lookup
+    * expressions (graft.util.StateMap — see Hedonic.stepPlanMap for why
+    * this beats LocalRelation + broadcast join: each LocalRelation
+    * broadcast build is a real job with the V rows serialized into task
+    * closures). An iteration is exactly ONE single-stage job:
+    * cached-adjacency scan, in-place aggregate on the cached dst
+    * partitioning, V-row collect. Nothing is pinned; the degree map is
+    * broadcast ONCE (degrees never change). The rank update stays IN-PLAN,
+    * same arithmetic shape as the shuffle path's expression (rank/deg per
+    * contribution row); only the tol-mode |delta| sum moves to the driver
+    * (same values, different summation order — a stopping heuristic, not a
+    * result). No dangling term: this path requires an edge-derived vertex
+    * set (min degree 1). */
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
       sym: DataFrame, deg: DataFrame, v: Double, cfg: Config): DataFrame = {
     import spark.implicits._
+    val sc = spark.sparkContext
     val vd = deg.collect()
     val n = vd.length
     val ids = new Array[Long](n)
@@ -157,14 +162,15 @@ object PageRank {
       ids(i) = vd(i).getLong(0); degs(i) = vd(i).getDouble(1)
       idx(ids(i)) = i; i += 1
     }
+    val degB = sc.broadcast(graft.util.StateMap.longDouble(ids, degs, n))
     var ranks = Array.fill(n)(1.0 / v)
     val nIter = cfg.fixedIter.getOrElse(cfg.maxIter)
     var iter = 0
     var done = false
     while (!done && iter < nIter) {
-      val rankSideL = (0 until n).map(k => (ids(k), ranks(k), degs(k)))
-        .toDF("src", "rank", "deg")
-      val rows = iterPlanLocal(sym, rankSideL, v, cfg).collect()
+      val rankB = sc.broadcast(graft.util.StateMap.longDouble(ids, ranks, n))
+      val rows = iterPlanMap(sym, rankB, degB, v, cfg).collect()
+      rankB.destroy()
       val next = ranks.clone() // min-degree-1: every vertex receives a row
       var delta = 0.0
       var k = 0
@@ -179,6 +185,7 @@ object PageRank {
       if (cfg.fixedIter.isEmpty) done = delta < cfg.tol
       iter += 1
     }
+    degB.destroy()
     (0 until n).map(k => (ids(k), ranks(k))).toDF("id", "rank")
   }
 
@@ -208,19 +215,29 @@ object PageRank {
     } else base.select(col("id"), newRank.as("rank"), col("deg"))
   }
 
-  /** The driver-state iteration's plan over a LOCAL rank relation —
+  /** The driver-state iteration's plan over broadcast rank/degree maps —
     * exposed so StrategySpec can assert it stays free of shuffle
-    * exchanges. */
-  private[graft] def iterPlanLocal(sym: DataFrame, rankSideL: DataFrame,
+    * exchanges. Same per-row arithmetic shape as iterPlan (rank/deg, or
+    * rank*weight/deg when weighted) so results agree with the shuffle path
+    * to summation order. The isNotNull filter mirrors the inner join's
+    * drop of src outside the rank state (never hit for edge-derived
+    * vertex sets, where deg covers every src). */
+  private[graft] def iterPlanMap(sym: DataFrame,
+      rankOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
+      degOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
       v: Double, cfg: Config): DataFrame = {
+    import graft.util.StateMap
+    val rank = StateMap.lookup(rankOf, col("src"))
+    val dg = StateMap.lookup(degOf, col("src"))
     val contribCol =
-      if (cfg.weighted) col("rank") * col("weight") / col("deg")
-      else col("rank") / col("deg")
+      if (cfg.weighted) rank * col("weight") / dg
+      else rank / dg
     val newRank =
       lit((1.0 - cfg.damping) / v) +
         lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(0.0))
-    sym.join(broadcast(rankSideL), Seq("src"))
+    sym
       .select(col("dst"), contribCol.as("c"))
+      .filter(col("c").isNotNull)
       .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
       .select(col("id"), newRank.as("rank"))
   }

@@ -44,7 +44,15 @@ object Portable {
     * round. DuckDB mirror:
     * `('0x'||substr(md5('g:'||id||':'||round),1,8))::BIGINT % 2 = 0`. */
   def parityGate(id: Column, round: Int): Column =
-    pmod(u32(key(lit("g"), id, lit(round))), lit(2L)) === lit(0L)
+    parityGate(id, lit(round))
+
+  /** Column-round variant: superstep loops pass StateMap.intRef(round) so
+    * the round number rides the codegen references array and the generated
+    * source stays byte-identical across rounds (Janino cache hit) — the
+    * VALUE is identical to the literal form, so DuckDB replay is
+    * unaffected. */
+  def parityGate(id: Column, round: Column): Column =
+    pmod(u32(key(lit("g"), id, round)), lit(2L)) === lit(0L)
 
   /** ~U(-1, 1) at 1e-6 resolution from a seeded key (hyperplane components).
     * DuckDB mirror: `(u32 % 2000001 - 1000000) / 1000000.0`. */

@@ -1,0 +1,222 @@
+package graft.util
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.{GraftExpressionBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
+
+/** Broadcast-variable iteration state: compact primitive hash maps +
+  * codegen'd Catalyst lookup expressions.
+  *
+  * Why not LocalRelation + broadcast hash join for the per-superstep state
+  * side? Measured on the 66.7M-edge scaling graph (round 3 probe): each
+  * BroadcastExchange whose child is a LocalRelation launches a REAL job —
+  * `SparkPlan.executeCollectIterator` runs `leafNodeDefaultParallelism`
+  * tasks with the V-row state serialized into the task closures (the
+  * "task of very large size 3000 KiB" warnings) — three such jobs per
+  * hedonic superstep at 0.4–2.5 s wall each, plus the broadcast relation
+  * build, against ~0.1 s of actual task work. That serial driver cost is
+  * flat in the core count, which is exactly what the N-vs-4N scaling
+  * efficiency target penalizes.
+  *
+  * Here the V-row state crosses into the plan as a
+  * `sparkContext.broadcast` of an open-addressing primitive map (8–16 B
+  * per vertex, no boxing), and the gather side reads it through a native
+  * Catalyst `Expression` with `doGenCode` — a hash probe inside the
+  * whole-stage-codegen'd scan, zero extra jobs, zero extra stages, and
+  * task binaries stay small (the broadcast handle serializes to an id).
+  * A superstep is then ONE single-stage job on the cached adjacency.
+  *
+  * On a real cluster the same shape holds: the map ships once per
+  * executor via torrent broadcast instead of once per task.
+  */
+object StateMap {
+
+  private val EMPTY = Long.MinValue
+
+  @inline private def mix(k: Long): Long = {
+    var z = k + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def capacityFor(n: Int): Int = {
+    var c = 64
+    while (c < n * 2) c <<= 1 // load factor <= 0.5 => probe chains terminate
+    c
+  }
+
+  /** Immutable open-addressing long -> long map (linear probing).
+    * `slot` returns -1 for absent keys; pair it with `valueAt`. */
+  final class LongLongMap private[StateMap] (
+      val keys: Array[Long], val vals: Array[Long], mask: Int)
+      extends Serializable {
+    def slot(k: Long): Int = {
+      var i = (mix(k) & mask).toInt
+      while (keys(i) != EMPTY) {
+        if (keys(i) == k) return i
+        i = (i + 1) & mask
+      }
+      -1
+    }
+    def valueAt(i: Int): Long = vals(i)
+  }
+
+  /** Immutable open-addressing long -> double map (linear probing). */
+  final class LongDoubleMap private[StateMap] (
+      val keys: Array[Long], val vals: Array[Double], mask: Int)
+      extends Serializable {
+    def slot(k: Long): Int = {
+      var i = (mix(k) & mask).toInt
+      while (keys(i) != EMPTY) {
+        if (keys(i) == k) return i
+        i = (i + 1) & mask
+      }
+      -1
+    }
+    def valueAt(i: Int): Double = vals(i)
+  }
+
+  /** Build from parallel arrays; the first `n` entries are used. Duplicate
+    * keys keep the LAST value (callers pass key-unique state). */
+  def longLong(ids: Array[Long], values: Array[Long], n: Int): LongLongMap = {
+    val cap = capacityFor(n)
+    val mask = cap - 1
+    val keys = Array.fill(cap)(EMPTY)
+    val vals = new Array[Long](cap)
+    var j = 0
+    while (j < n) {
+      val k = ids(j)
+      require(k != EMPTY, "Long.MinValue key unsupported")
+      var i = (mix(k) & mask).toInt
+      while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = values(j)
+      j += 1
+    }
+    new LongLongMap(keys, vals, mask)
+  }
+
+  def longDouble(ids: Array[Long], values: Array[Double], n: Int): LongDoubleMap = {
+    val cap = capacityFor(n)
+    val mask = cap - 1
+    val keys = Array.fill(cap)(EMPTY)
+    val vals = new Array[Double](cap)
+    var j = 0
+    while (j < n) {
+      val k = ids(j)
+      require(k != EMPTY, "Long.MinValue key unsupported")
+      var i = (mix(k) & mask).toInt
+      while (keys(i) != EMPTY && keys(i) != k) i = (i + 1) & mask
+      keys(i) = k; vals(i) = values(j)
+      j += 1
+    }
+    new LongDoubleMap(keys, vals, mask)
+  }
+
+  /** Build a long->long map from a LongMap of (key -> value) — for
+    * community-size tables whose key set isn't a dense array. */
+  def longLong(m: scala.collection.mutable.LongMap[Long]): LongLongMap = {
+    val ids = new Array[Long](m.size)
+    val vs = new Array[Long](m.size)
+    var j = 0
+    m.foreachEntry { (k, v) => ids(j) = k; vs(j) = v; j += 1 }
+    longLong(ids, vs, j)
+  }
+
+  /** NULL when the key is absent or the child is null — mirrors the row
+    * drop an inner equi-join with the state relation performed. */
+  private abstract class MapLookup extends UnaryExpression {
+    override def nullable: Boolean = true
+    protected def mapClass: String
+    protected def mapRef: AnyRef
+    protected def slotOf(k: Long): Int
+    protected def valAt(i: Int): Any
+    protected def javaZero: String
+
+    override def eval(input: InternalRow): Any = {
+      val k = child.eval(input)
+      if (k == null) null
+      else {
+        val s = slotOf(k.asInstanceOf[Long])
+        if (s < 0) null else valAt(s)
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("stateMapBcast", mapRef,
+        "org.apache.spark.broadcast.Broadcast")
+      val m = ctx.addMutableState(mapClass, "stateMap",
+        v => s"$v = ($mapClass) $bRef.value();")
+      val kGen = child.genCode(ctx)
+      val slot = ctx.freshName("slot")
+      val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .javaType(dataType)
+      ev.copy(code = code"""
+        ${kGen.code}
+        boolean ${ev.isNull} = true;
+        $jt ${ev.value} = $javaZero;
+        if (!${kGen.isNull}) {
+          int $slot = $m.slot(${kGen.value});
+          if ($slot >= 0) { ${ev.isNull} = false; ${ev.value} = $m.valueAt($slot); }
+        }""")
+    }
+  }
+
+  private case class LongMapLookup(child: Expression, bcast: Broadcast[LongLongMap])
+      extends MapLookup {
+    override def dataType: DataType = LongType
+    override protected def mapClass: String = classOf[LongLongMap].getName
+    override protected def mapRef: AnyRef = bcast
+    override protected def slotOf(k: Long): Int = bcast.value.slot(k)
+    override protected def valAt(i: Int): Any = bcast.value.valueAt(i)
+    override protected def javaZero: String = "-1L"
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private case class DoubleMapLookup(child: Expression, bcast: Broadcast[LongDoubleMap])
+      extends MapLookup {
+    override def dataType: DataType = DoubleType
+    override protected def mapClass: String = classOf[LongDoubleMap].getName
+    override protected def mapRef: AnyRef = bcast
+    override protected def slotOf(k: Long): Int = bcast.value.slot(k)
+    override protected def valAt(i: Int): Any = bcast.value.valueAt(i)
+    override protected def javaZero: String = "-1.0"
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** An int literal that enters generated code through the references
+    * array instead of being inlined into the source. Superstep loops put
+    * the round number in every plan (the parity gate); an inlined literal
+    * changes the generated source each round and defeats the Janino
+    * compile cache (~0.5-1 s of serial driver time per superstep), while a
+    * reference-backed value keeps the source byte-identical across rounds.
+    * Non-foldable so constant folding cannot re-inline it. */
+  private case class IntRef(value: Int) extends LeafExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+    override def eval(input: InternalRow): Any = value
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("intRef", Integer.valueOf(value), "java.lang.Integer")
+      val v = ctx.addMutableState("int", "intRefVal", n => s"$n = $ref.intValue();")
+      ev.copy(code = code"", isNull = org.apache.spark.sql.catalyst.expressions.codegen
+        .FalseLiteral, value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(v, IntegerType))
+    }
+  }
+
+  def lookup(bcast: Broadcast[LongLongMap], key: Column): Column =
+    ExpressionUtils.column(LongMapLookup(ExpressionUtils.expression(key), bcast))
+
+  def lookup(bcast: Broadcast[LongDoubleMap], key: Column)(
+      implicit d: DummyImplicit): Column =
+    ExpressionUtils.column(DoubleMapLookup(ExpressionUtils.expression(key), bcast))
+
+  def intRef(value: Int): Column = ExpressionUtils.column(IntRef(value))
+}

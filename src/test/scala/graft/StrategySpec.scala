@@ -79,26 +79,32 @@ class StrategySpec extends SparkSpec {
     try {
     val e = edgesOf(pairs)
     val symSrc = GraphOps.pinnedSym(e, "src")
-    // Hedonic superstep: driver-local state relations broadcast into the
-    // gather/argmax over the cached layout (the shape run() builds each
-    // superstep from its driver-resident arrays).
-    import spark.implicits._
-    val st = (0L to 7L).map(i => (i, i))
-    val membersL = st.toDF("id", "community")
-    val sizesL = st.map { case (_, c) => (c, 1L) }.toDF("community", "csize")
-    val curInfoL = st.map { case (id, c) => (id, c, 1L) }.toDF("id", "curComm", "curSize")
-    val hplan = Hedonic.stepPlanLocal(symSrc, membersL, sizesL, curInfoL, 0.25, lit(true))
+    // Hedonic superstep: driver state enters as broadcast primitive maps
+    // read through codegen'd lookups over the cached layout (the shape
+    // run() builds each superstep from its driver-resident arrays).
+    import graft.util.StateMap
+    val sc = spark.sparkContext
+    val ids = (0L to 7L).toArray
+    val commB = sc.broadcast(StateMap.longLong(ids, ids, ids.length))
+    val sizeB = sc.broadcast(StateMap.longLong(ids, Array.fill(8)(1L), ids.length))
+    val hplan = Hedonic.stepPlanMap(symSrc, commB, sizeB, 0.25, lit(true))
     assert(spineShuffles(hplan) == 0, hplan.queryExecution.executedPlan.toString)
-    // PageRank driver-state iteration (local rank relation).
+    // PageRank driver-state iteration (broadcast rank/degree maps).
     val symDst = GraphOps.pinnedSym(e, "dst")
-    val rankSideL = (0L to 7L).map(i => (i, 0.125, 2.0)).toDF("src", "rank", "deg")
-    val pplan = PageRank.iterPlanLocal(symDst, rankSideL, 8.0, PageRank.Config())
+    val rankB = sc.broadcast(StateMap.longDouble(ids, Array.fill(8)(0.125), ids.length))
+    val degB = sc.broadcast(StateMap.longDouble(ids, Array.fill(8)(2.0), ids.length))
+    val pplan = PageRank.iterPlanMap(symDst, rankB, degB, 8.0, PageRank.Config())
     assert(spineShuffles(pplan) == 0, pplan.queryExecution.executedPlan.toString)
-    // LPA step.
+    // LPA driver-state step (broadcast label map).
+    val lplan = LabelPropagation.stepPlanMap(symSrc, commB, weighted = false, lit(true))
+    assert(spineShuffles(lplan) == 0, lplan.queryExecution.executedPlan.toString)
+    // LPA public step() with a broadcast label RELATION (the non-driver-
+    // state entry point callers use on materialized label frames).
     val labels = Iterate.pin(
       membersOf((0L to 7L).map(i => (i, i))).select(col("id"), col("community").as("label")))
-    val lplan = LabelPropagation.step(symSrc, labels, bcastState = true)
-    assert(spineShuffles(lplan) == 0, lplan.queryExecution.executedPlan.toString)
+    val lplan2 = LabelPropagation.step(symSrc, labels, bcastState = true)
+    assert(spineShuffles(lplan2) == 0, lplan2.queryExecution.executedPlan.toString)
+    commB.destroy(); sizeB.destroy(); rankB.destroy(); degB.destroy()
     symSrc.unpersist(); symDst.unpersist()
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
