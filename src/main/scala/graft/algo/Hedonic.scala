@@ -47,11 +47,13 @@ import graft.io.{Checkpoint, Iterate}
   * Superstep cost model (the scaling-efficiency lever): exactly ONE Spark
   * job per superstep, on both physical strategies.
   *  - Broadcast-state (V within Config.broadcastStateMaxRows): the state
-  *    lives in DRIVER arrays between supersteps; each round it re-enters
-  *    the plan as broadcast primitive maps read through codegen'd lookup
-  *    expressions (graft.util.StateMap), and the single single-stage job
-  *    ends in a wanter-row collect (stepPlanMap / runDriverState). Nothing
-  *    is pinned; wants/moved are counted on the collected rows.
+  *    lives in DRIVER arrays between supersteps and re-enters the plan as
+  *    broadcast primitive maps (graft.util.StateMap); the superstep is a
+  *    single single-stage job scanning the CSR-packed adjacency, with a
+  *    codegen'd per-vertex kernel doing gather+score+argmax in one pass
+  *    (PackedAdjacency / PackedKernels / stepPlanPacked) and a wanter-row
+  *    collect at the end. Nothing is pinned; wants/moved are counted on
+  *    the collected rows.
   *  - Co-partitioned shuffle (the 1e9-vertex path): the new state is
   *    pinned (eager cache + RDD-lineage cut + stats barrier, see
   *    graft.io.Iterate) while the wants/moved counters ride the same pass
@@ -198,10 +200,25 @@ object Hedonic {
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
     import graft.util.StateMap
-    val cand = sym
+    val counts = sym
       .select(col("src").as("id"), StateMap.lookup(commOf, col("dst")).as("community"))
       .filter(col("community").isNotNull)
       .groupBy("id", "community").agg(sum(lit(1L)).as("friends"))
+    decideFromCounts(counts, commOf, sizeOf, alpha)
+      .select(col("id"), col("bestComm"), gate.as("doMove"))
+  }
+
+  /** Shared decide tail over per-(id, candidate community) friend counts:
+    * payoff -> canonical argmax -> strict-improvement filter. Feeds both
+    * the row-based stepPlanMap and stepPlanPacked's multi-segment (hub)
+    * branch, so hub decisions are expression-identical to the row plan. */
+  private[graft] def decideFromCounts(
+      counts: DataFrame,
+      commOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      sizeOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      alpha: Double): DataFrame = {
+    import graft.util.StateMap
+    val cand = counts
       .withColumn("csize", StateMap.lookup(sizeOf, col("community")))
       .withColumn("curComm", StateMap.lookup(commOf, col("id")))
       .filter(col("curComm").isNotNull)
@@ -227,7 +244,37 @@ object Hedonic {
             lit(0L) * (1.0 - alpha) - (col("curSize") - 1L) * alpha)).as("wants"),
         col("b.comm").as("bestComm"))
       .filter(col("wants"))
-      .select(col("id"), col("bestComm"), gate.as("doMove"))
+      .select(col("id"), col("bestComm"))
+  }
+
+  /** CSR-packed superstep plan (the production broadcast-state path): a
+    * V-row scan of the packed adjacency where a codegen'd per-vertex
+    * kernel (PackedKernels.hedonicDecide) gathers, scores, and argmaxes in
+    * one pass — no aggregate operator, no per-edge rows. Multi-segment
+    * (hub) vertices flow through per-segment partial counts + a regular
+    * sum into the shared decide tail; the branch is elided when the build
+    * saw no hubs (maxSegs == 1, the common case). Decision-identical to
+    * stepPlanMap (PackedSpec pins both, including the hub branch). */
+  private[graft] def stepPlanPacked(
+      packed: graft.graph.PackedAdj,
+      commOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      sizeOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      alpha: Double,
+      gate: org.apache.spark.sql.Column): DataFrame = {
+    val dec1 = packed.df.filter(col("nsegs") === 1)
+      .select(col("id"),
+        PackedKernels.hedonicDecide(col("id"), col("nbrs"), commOf, sizeOf, alpha)
+          .as("bestComm"))
+      .filter(col("bestComm").isNotNull)
+    val dec =
+      if (packed.maxSegs > 1) {
+        val counts = packed.df.filter(col("nsegs") > 1)
+          .select(col("id"), explode(PackedKernels.commCounts(col("nbrs"), commOf)).as("cf"))
+          .select(col("id"), col("cf.community").as("community"), col("cf.friends").as("friends"))
+          .groupBy("id", "community").agg(sum("friends").as("friends"))
+        dec1.unionByName(decideFromCounts(counts, commOf, sizeOf, alpha))
+      } else dec1
+    dec.select(col("id"), col("bestComm"), gate.as("doMove"))
   }
 
   /** M4 one-pass hedonic improvement at alpha = 0 (reference
@@ -322,13 +369,6 @@ object Hedonic {
     val a = cfg.alpha.getOrElse(GraphOps.density(edges))
     val stateRows = init.count()
     val bcast = stateRows <= cfg.broadcastStateMaxRows
-    // Cached pre-partitioned on the key the superstep cannot broadcast
-    // away: src (the gather GROUPING key) when the state is broadcast —
-    // the whole superstep then runs on the cached layout with zero
-    // edge-scale exchange — or dst (the gather JOIN key) on the shuffle
-    // path, where only the V-row members side re-exchanges per round.
-    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst", sorted = !bcast)
-    val edgeCount = sym.count()
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, cfg.checkpointEvery))
 
     // Resume from the latest durable snapshot when a checkpoint dir is reused.
@@ -337,8 +377,21 @@ object Hedonic {
       case None          => (0, init.select("id", "community"))
     }
 
-    if (bcast)
-      return runDriverState(edges, sym, startMembers, startStep, a, edgeCount, cfg, ckpt)
+    if (bcast) {
+      // Broadcast-state strategy iterates over the CSR-packed adjacency
+      // (one build-time shuffle, then V-row supersteps — see
+      // PackedAdjacency / stepPlanPacked).
+      val packed = graft.graph.PackedAdjacency.build(
+        GraphOps.symmetrize(edges).select("src", "dst"), "src")
+      val edgeCount = packed.df
+        .agg(sum(size(col("nbrs")))).collect()(0).getLong(0)
+      return runDriverState(edges, packed, startMembers, startStep, a, edgeCount, cfg, ckpt)
+    }
+
+    // Shuffle path: cached pre-partitioned on dst (the gather JOIN key);
+    // only the V-row members side re-exchanges per round.
+    val sym = GraphOps.pinnedSym(edges, "dst", sorted = true)
+    val edgeCount = sym.count()
 
     var members = startMembers
     var prevPin: Option[Iterate.Pinned] = None
@@ -380,7 +433,7 @@ object Hedonic {
   /** Broadcast-strategy loop with DRIVER-RESIDENT state (V fits the
     * broadcast budget by definition, so it fits the driver). Each superstep
     * broadcasts two primitive maps built from the local arrays (id ->
-    * community, community -> size), feeds stepPlanMap, and collects only
+    * community, community -> size), feeds stepPlanPacked, and collects only
     * the WANTER rows back: ONE single-stage Spark job per superstep,
     * nothing pinned, no cached state to release, no stats growth. The
     * round number enters the parity gate via StateMap.intRef so every
@@ -393,7 +446,7 @@ object Hedonic {
     * lands so a long run doesn't accumulate blocks. */
   private def runDriverState(
       edges: Dataset[Edge],
-      sym: DataFrame,
+      packed: graft.graph.PackedAdj,
       startMembers: DataFrame,
       startStep: Int,
       alpha: Double,
@@ -436,7 +489,7 @@ object Hedonic {
       val commB = sc.broadcast(graft.util.StateMap.longLong(ids, comms, n))
       val sizeB = sc.broadcast(graft.util.StateMap.longLong(sizeMap))
       val tLocal = System.nanoTime()
-      val rows = stepPlanMap(sym, commB, sizeB, alpha, gate).collect()
+      val rows = stepPlanPacked(packed, commB, sizeB, alpha, gate).collect()
       val tJob = System.nanoTime()
       // Every collected row is a wanter (wants = true pre-filtered in-plan);
       // doMove carries the gate. Non-wanters change nothing and are not
@@ -471,7 +524,7 @@ object Hedonic {
       converged = wanted == 0L
       superstep += 1
     }
-    sym.unpersist()
+    packed.unpersist()
     (stateDF, metrics)
   }
 

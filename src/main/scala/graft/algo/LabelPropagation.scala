@@ -64,14 +64,18 @@ object LabelPropagation {
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
     val bcast = init.count() <= broadcastStateMaxRows
-    // Cached pre-partitioned on src (the grouping key) when the state is
-    // broadcast — each iteration is then exchange-free on the cached
-    // layout — or dst (the join key) on the shuffle path, where only the
+    if (bcast) {
+      // Broadcast-state strategy iterates over the CSR-packed adjacency
+      // (see PackedAdjacency / stepPlanPacked).
+      val symCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+      val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
+      val packed = graft.graph.PackedAdjacency.build(symDf, "src", weighted)
+      return runDriverState(edges.sparkSession, packed, init, maxIter,
+        parityGating, weighted)
+    }
+    // Shuffle path: cached pre-partitioned on dst (the join key); only the
     // V-row label side re-exchanges per round.
-    val sym = GraphOps.pinnedSym(edges, if (bcast) "src" else "dst", weighted,
-      sorted = !bcast)
-    if (bcast) return runDriverState(edges.sparkSession, sym, init, maxIter,
-      parityGating, weighted)
+    val sym = GraphOps.pinnedSym(edges, "dst", weighted, sorted = true)
 
     var labels = Iterate.pin(init)
     var prevPin: Option[Iterate.Pinned] = None
@@ -111,17 +115,56 @@ object LabelPropagation {
       weighted: Boolean, gate: org.apache.spark.sql.Column): DataFrame = {
     import graft.util.StateMap
     val vote = if (weighted) sum(col("weight").cast("double")) else count(lit(1)).cast("double")
-    sym
+    val votes = sym
       .select(col("src").as("id"), StateMap.lookup(labOf, col("dst")).as("nbrLabel"),
         (if (weighted) col("weight") else lit(1L)).as("weight"))
       .filter(col("nbrLabel").isNotNull)
       .groupBy("id", "nbrLabel")
       .agg(vote.as("cnt"))
+    decideFromVotes(votes, labOf)
+      .select(col("id"), col("bestLabel"), gate.as("g"))
+  }
+
+  /** Shared decide tail over per-(id, label) vote sums: canonical argmax
+    * (count desc, smallest label) + changed-only filter. Feeds both the
+    * row-based stepPlanMap and stepPlanPacked's multi-segment (hub)
+    * branch. */
+  private[graft] def decideFromVotes(votes: DataFrame,
+      labOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap])
+      : DataFrame = {
+    import graft.util.StateMap
+    votes
       .groupBy("id").agg(
         max(struct(col("cnt"), (-col("nbrLabel")).as("neg"), col("nbrLabel").as("lab"))).as("b"))
       .withColumn("cur", StateMap.lookup(labOf, col("id")))
       .filter(col("cur").isNotNull && col("b.lab") =!= col("cur"))
-      .select(col("id"), col("b.lab").as("bestLabel"), gate.as("g"))
+      .select(col("id"), col("b.lab").as("bestLabel"))
+  }
+
+  /** CSR-packed step plan (the production broadcast-state path): a V-row
+    * scan of the packed adjacency where a codegen'd per-vertex kernel
+    * (PackedKernels.labelDecide) tallies neighbor labels and argmaxes in
+    * one pass — no aggregate operator on the common path. Multi-segment
+    * (hub) vertices flow through per-segment partial votes + a regular sum
+    * into the shared decide tail; the branch is elided when the build saw
+    * no hubs. Decision-identical to stepPlanMap (PackedSpec). */
+  private[graft] def stepPlanPacked(packed: graft.graph.PackedAdj,
+      labOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      gate: org.apache.spark.sql.Column): DataFrame = {
+    val wcol = if (packed.weighted) Some(col("wts")) else None
+    val dec1 = packed.df.filter(col("nsegs") === 1)
+      .select(col("id"),
+        PackedKernels.labelDecide(col("id"), col("nbrs"), wcol, labOf).as("bestLabel"))
+      .filter(col("bestLabel").isNotNull)
+    val dec =
+      if (packed.maxSegs > 1) {
+        val votes = packed.df.filter(col("nsegs") > 1)
+          .select(col("id"), explode(PackedKernels.labelVotes(col("nbrs"), wcol, labOf)).as("lv"))
+          .select(col("id"), col("lv.nbrLabel").as("nbrLabel"), col("lv.cnt").as("cnt"))
+          .groupBy("id", "nbrLabel").agg(sum("cnt").as("cnt"))
+        dec1.unionByName(decideFromVotes(votes, labOf))
+      } else dec1
+    dec.select(col("id"), col("bestLabel"), gate.as("g"))
   }
 
   /** Broadcast-strategy loop with DRIVER-RESIDENT labels; exactly one
@@ -130,7 +173,7 @@ object LabelPropagation {
     * differs (counted BEFORE gating, so convergence is gate-independent);
     * a node absent from the vote table keeps its label. */
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
-      sym: DataFrame, init: DataFrame, maxIter: Int,
+      packed: graft.graph.PackedAdj, init: DataFrame, maxIter: Int,
       parityGating: Boolean, weighted: Boolean): DataFrame = {
     import spark.implicits._
     val init0 = init.collect()
@@ -152,7 +195,7 @@ object LabelPropagation {
           graft.util.Portable.parityGate(col("id"), graft.util.StateMap.intRef(iter))
         else lit(true)
       val labB = sc.broadcast(graft.util.StateMap.longLong(ids, labs, n))
-      val rows = stepPlanMap(sym, labB, weighted, gate).collect()
+      val rows = stepPlanPacked(packed, labB, gate).collect()
       labB.destroy()
       // Every collected row is a changer (best != current, filtered
       // in-plan) — identical counters and state to the old full collect.
@@ -171,7 +214,7 @@ object LabelPropagation {
       done = wanted == 0L
       iter += 1
     }
-    sym.unpersist()
+    packed.unpersist()
     (0 until n).map(k => (ids(k), labs(k))).toDF("id", "label")
   }
 }

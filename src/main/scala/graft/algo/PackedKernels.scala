@@ -1,0 +1,453 @@
+package graft.algo
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{GraftExpressionBridge => EU}
+import graft.util.StateMap.{LongDoubleMap, LongLongMap}
+
+/** Per-vertex gather kernels over the CSR-packed adjacency
+  * (graft.graph.PackedAdjacency): native Catalyst expressions whose
+  * generated code calls the static methods below. Each consumes a
+  * vertex's neighbor array plus the broadcast state maps and produces the
+  * superstep's per-vertex result directly — no aggregate operator, no
+  * per-edge rows, no DRAM-random aggregation-map probes (the measured
+  * 32-core saturation cost of the row-based plans; see PackedAdjacency).
+  *
+  * Decision identity: every kernel reproduces its row-based plan's
+  * arithmetic EXPRESSION-FOR-EXPRESSION — same long->double promotions,
+  * same `0.0 - x` closed forms, same strict-> move conditions, same
+  * (payoff/count desc, isCur desc, label asc) tie-breaks — so packed and
+  * row-based strategies are pinned bitwise-identical (PackedSpec,
+  * StrategySpec). Payoffs/counts are never NaN/-0.0, so primitive
+  * comparisons agree with Catalyst's double ordering.
+  *
+  * Null protocol: Long kernels return Long.MinValue for "no row" (the
+  * row-based plans' join-drop / wants-filter), which StateMap forbids as
+  * a key so it collides with no real label; the double kernel returns NaN
+  * (unreachable otherwise: finite positive inputs). The wrapping
+  * expressions translate the sentinels to SQL NULL.
+  */
+object PackedKernels {
+
+  private[algo] final val NULLV = Long.MinValue
+
+  @inline private def mix(k: Long): Long = {
+    var z = k + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Epoch-stamped open-addressing scratch map (key -> long or double
+    * accumulator), reused across rows via ThreadLocal: begin() bumps the
+    * epoch instead of clearing, so a row costs zero array fills. Sized to
+    * 2x the segment's neighbor count up front (distinct keys <= neighbors),
+    * so probe chains terminate and no mid-row growth is needed. */
+  final class Scratch {
+    private var cap = 1024
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var stamps = new Array[Int](cap)
+    private var lvals = new Array[Long](cap)
+    private var dvals = new Array[Double](cap)
+    private var used = new Array[Int](cap)
+    private var epoch = 0
+    var nUsed = 0
+
+    def begin(expected: Int): Unit = {
+      var need = 64
+      while (need < expected * 2 && need < (1 << 30)) need <<= 1
+      if (need > cap) {
+        cap = need; mask = cap - 1
+        keys = new Array[Long](cap); stamps = new Array[Int](cap)
+        lvals = new Array[Long](cap); dvals = new Array[Double](cap)
+        used = new Array[Int](cap)
+        epoch = 0
+      }
+      nUsed = 0
+      if (epoch == Int.MaxValue) { java.util.Arrays.fill(stamps, 0); epoch = 0 }
+      epoch += 1
+    }
+    @inline private def slotFor(k: Long): Int = {
+      var i = (mix(k) & mask).toInt
+      while (stamps(i) == epoch && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def addLong(k: Long, v: Long): Unit = {
+      val i = slotFor(k)
+      if (stamps(i) != epoch) {
+        stamps(i) = epoch; keys(i) = k; lvals(i) = 0L; used(nUsed) = i; nUsed += 1
+      }
+      lvals(i) += v
+    }
+    def addDouble(k: Long, v: Double): Unit = {
+      val i = slotFor(k)
+      if (stamps(i) != epoch) {
+        stamps(i) = epoch; keys(i) = k; dvals(i) = 0.0; used(nUsed) = i; nUsed += 1
+      }
+      dvals(i) += v
+    }
+    def keyAt(j: Int): Long = keys(used(j))
+    def longAt(j: Int): Long = lvals(used(j))
+    def doubleAt(j: Int): Double = dvals(used(j))
+  }
+
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** Hedonic per-vertex decision (mirrors Hedonic.stepPlanMap +
+    * decideFromCounts): NULLV unless the vertex STRICTLY wants to move;
+    * otherwise the argmax candidate community under the canonical
+    * (payoff, isCur, smallest-label) tie-break. Precondition (holds by
+    * construction in runDriverState): `size` covers every value of `comm`. */
+  def kHedonic(id: Long, nbrs: ArrayData, comm: LongLongMap, size: LongLongMap,
+               alpha: Double): Long = {
+    val sCur = comm.slot(id)
+    if (sCur < 0) return NULLV
+    val curComm = comm.valueAt(sCur)
+    val n = nbrs.numElements()
+    val s = scratch.get()
+    s.begin(n)
+    var i = 0
+    while (i < n) {
+      val cs = comm.slot(nbrs.getLong(i))
+      if (cs >= 0) s.addLong(comm.valueAt(cs), 1L)
+      i += 1
+    }
+    if (s.nUsed == 0) return NULLV
+    var bestP = Double.NegativeInfinity
+    var bestIc = -1
+    var bestC = Long.MaxValue
+    var curP = 0.0
+    var curSeen = false
+    var j = 0
+    while (j < s.nUsed) {
+      val c = s.keyAt(j)
+      val f = s.longAt(j)
+      val csize = size.valueAt(size.slot(c))
+      val ic = if (c == curComm) 1 else 0
+      val strangers = csize - f - ic
+      val p = f * (1.0 - alpha) - strangers * alpha
+      if (ic == 1) { curP = p; curSeen = true }
+      if (p > bestP || (p == bestP && (ic > bestIc || (ic == bestIc && c < bestC)))) {
+        bestP = p; bestIc = ic; bestC = c
+      }
+      j += 1
+    }
+    if (!curSeen) {
+      val curSize = size.valueAt(size.slot(curComm))
+      curP = 0L * (1.0 - alpha) - (curSize - 1L) * alpha
+    }
+    if (bestP > curP) bestC else NULLV
+  }
+
+  /** LPA per-vertex decision (mirrors LabelPropagation.stepPlanMap):
+    * NULLV unless the (weighted) majority label differs from current.
+    * `wts` null => unweighted (each vote 1.0, matching count cast double). */
+  def kLabel(id: Long, nbrs: ArrayData, wts: ArrayData, lab: LongLongMap): Long = {
+    val sCur = lab.slot(id)
+    if (sCur < 0) return NULLV
+    val cur = lab.valueAt(sCur)
+    val n = nbrs.numElements()
+    val s = scratch.get()
+    s.begin(n)
+    var i = 0
+    while (i < n) {
+      val ls = lab.slot(nbrs.getLong(i))
+      if (ls >= 0) s.addDouble(lab.valueAt(ls), if (wts == null) 1.0 else wts.getDouble(i))
+      i += 1
+    }
+    if (s.nUsed == 0) return NULLV
+    var bestCnt = Double.NegativeInfinity
+    var bestL = Long.MaxValue
+    var j = 0
+    while (j < s.nUsed) {
+      val l = s.keyAt(j)
+      val c = s.doubleAt(j)
+      if (c > bestCnt || (c == bestCnt && l < bestL)) { bestCnt = c; bestL = l }
+      j += 1
+    }
+    if (bestL == cur) NULLV else bestL
+  }
+
+  /** PageRank per-vertex (or per-segment) contribution sum (mirrors
+    * PageRank.iterPlanMap's contrib column + sum): sum over neighbors u of
+    * rank(u)/deg(u) (times w when weighted), skipping neighbors outside
+    * the rank map. NaN = zero contributors (the row-based plan's
+    * filter-drop); unreachable otherwise since all inputs are finite
+    * positive. */
+  def kContrib(nbrs: ArrayData, wts: ArrayData, rank: LongDoubleMap,
+               deg: LongDoubleMap): Double = {
+    val n = nbrs.numElements()
+    var sum = 0.0
+    var any = false
+    var i = 0
+    while (i < n) {
+      val k = nbrs.getLong(i)
+      val rs = rank.slot(k)
+      if (rs >= 0) {
+        val ds = deg.slot(k)
+        if (ds >= 0) {
+          val r = rank.valueAt(rs)
+          val d = deg.valueAt(ds)
+          sum += (if (wts == null) r / d else r * wts.getDouble(i) / d)
+          any = true
+        }
+      }
+      i += 1
+    }
+    if (any) sum else Double.NaN
+  }
+
+  /** Hub-segment partial: (community, friends) counts for one segment's
+    * neighbors — the multi-segment branch sums these with a regular
+    * aggregate before the shared decide tail. */
+  def kCommCounts(nbrs: ArrayData, comm: LongLongMap): ArrayData = {
+    val n = nbrs.numElements()
+    val s = scratch.get()
+    s.begin(n)
+    var i = 0
+    while (i < n) {
+      val cs = comm.slot(nbrs.getLong(i))
+      if (cs >= 0) s.addLong(comm.valueAt(cs), 1L)
+      i += 1
+    }
+    val out = new Array[Any](s.nUsed)
+    var j = 0
+    while (j < s.nUsed) {
+      out(j) = new GenericInternalRow(Array[Any](s.keyAt(j), s.longAt(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hub-segment partial: (label, vote) sums for one segment. */
+  def kLabelVotes(nbrs: ArrayData, wts: ArrayData, lab: LongLongMap): ArrayData = {
+    val n = nbrs.numElements()
+    val s = scratch.get()
+    s.begin(n)
+    var i = 0
+    while (i < n) {
+      val ls = lab.slot(nbrs.getLong(i))
+      if (ls >= 0) s.addDouble(lab.valueAt(ls), if (wts == null) 1.0 else wts.getDouble(i))
+      i += 1
+    }
+    val out = new Array[Any](s.nUsed)
+    var j = 0
+    while (j < s.nUsed) {
+      out(j) = new GenericInternalRow(Array[Any](s.keyAt(j), s.doubleAt(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ---- Catalyst expression wrappers --------------------------------------
+
+  private val bcastCls = "org.apache.spark.broadcast.Broadcast"
+  private val llCls = classOf[LongLongMap].getName
+  private val ldCls = classOf[LongDoubleMap].getName
+
+  /** Registers a broadcast map in the references array and returns the name
+    * of a task-level mutable field holding its dereferenced value. */
+  private def mapState(ctx: CodegenContext, b: Broadcast[_], cls: String): String = {
+    val ref = ctx.addReferenceObj("stateBcast", b, bcastCls)
+    ctx.addMutableState(cls, "stateMap", v => s"$v = ($cls) $ref.value();")
+  }
+
+  private case class HedonicDecideE(idE: Expression, nbrsE: Expression,
+      commB: Broadcast[LongLongMap], sizeB: Broadcast[LongLongMap], alpha: Double)
+      extends Expression {
+    override def children: Seq[Expression] = Seq(idE, nbrsE)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val id = idE.eval(input)
+      val nb = nbrsE.eval(input)
+      if (id == null || nb == null) null
+      else {
+        val v = kHedonic(id.asInstanceOf[Long], nb.asInstanceOf[ArrayData],
+          commB.value, sizeB.value, alpha)
+        if (v == NULLV) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cMap = mapState(ctx, commB, llCls)
+      val sMap = mapState(ctx, sizeB, llCls)
+      val aRef = ctx.addReferenceObj("alpha", java.lang.Double.valueOf(alpha), "java.lang.Double")
+      val aVar = ctx.addMutableState("double", "alphaVal", v => s"$v = $aRef.doubleValue();")
+      val idG = idE.genCode(ctx)
+      val nbG = nbrsE.genCode(ctx)
+      ev.copy(code = code"""
+        ${idG.code}
+        ${nbG.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${idG.isNull} && !${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kHedonic(
+            ${idG.value}, ${nbG.value}, $cMap, $sMap, $aVar);
+          ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(idE = newChildren(0), nbrsE = newChildren(1))
+  }
+
+  private case class LabelDecideE(idE: Expression, nbrsE: Expression,
+      wtsE: Option[Expression], labB: Broadcast[LongLongMap])
+      extends Expression {
+    override def children: Seq[Expression] = Seq(idE, nbrsE) ++ wtsE
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val id = idE.eval(input)
+      val nb = nbrsE.eval(input)
+      if (id == null || nb == null) null
+      else {
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kLabel(id.asInstanceOf[Long], nb.asInstanceOf[ArrayData], w, labB.value)
+        if (v == NULLV) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lMap = mapState(ctx, labB, llCls)
+      val idG = idE.genCode(ctx)
+      val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
+      ev.copy(code = code"""
+        ${idG.code}
+        ${nbG.code}
+        $wCode
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${idG.isNull} && !${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kLabel(
+            ${idG.value}, ${nbG.value}, $wVal, $lMap);
+          ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(idE = newChildren(0), nbrsE = newChildren(1),
+        wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
+  }
+
+  private case class PrContribE(nbrsE: Expression, wtsE: Option[Expression],
+      rankB: Broadcast[LongDoubleMap], degB: Broadcast[LongDoubleMap])
+      extends Expression {
+    override def children: Seq[Expression] = Seq(nbrsE) ++ wtsE
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val nb = nbrsE.eval(input)
+      if (nb == null) null
+      else {
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kContrib(nb.asInstanceOf[ArrayData], w, rankB.value, degB.value)
+        if (java.lang.Double.isNaN(v)) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rMap = mapState(ctx, rankB, ldCls)
+      val dMap = mapState(ctx, degB, ldCls)
+      val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
+      ev.copy(code = code"""
+        ${nbG.code}
+        $wCode
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kContrib(
+            ${nbG.value}, $wVal, $rMap, $dMap);
+          ${ev.isNull} = java.lang.Double.isNaN(${ev.value});
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(nbrsE = newChildren(0),
+        wtsE = if (wtsE.isDefined) Some(newChildren(1)) else None)
+  }
+
+  /** Hub-branch partials are cold (multi-segment vertices only), so these
+    * two stay interpreted (CodegenFallback) — the loop work is in the
+    * static kernels either way. */
+  private case class CommCountsE(nbrsE: Expression, commB: Broadcast[LongLongMap])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(nbrsE)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("community", LongType, nullable = false),
+      StructField("friends", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val nb = nbrsE.eval(input)
+      if (nb == null) null
+      else kCommCounts(nb.asInstanceOf[ArrayData], commB.value)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(nbrsE = newChildren(0))
+  }
+
+  private case class LabelVotesE(nbrsE: Expression, wtsE: Option[Expression],
+      labB: Broadcast[LongLongMap])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(nbrsE) ++ wtsE
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("nbrLabel", LongType, nullable = false),
+      StructField("cnt", DoubleType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val nb = nbrsE.eval(input)
+      if (nb == null) null
+      else {
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        kLabelVotes(nb.asInstanceOf[ArrayData], w, labB.value)
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(nbrsE = newChildren(0),
+        wtsE = if (wtsE.isDefined) Some(newChildren(1)) else None)
+  }
+
+  // ---- Column builders ----------------------------------------------------
+
+  def hedonicDecide(id: Column, nbrs: Column, commB: Broadcast[LongLongMap],
+      sizeB: Broadcast[LongLongMap], alpha: Double): Column =
+    EU.column(HedonicDecideE(EU.expression(id), EU.expression(nbrs), commB, sizeB, alpha))
+
+  def labelDecide(id: Column, nbrs: Column, wts: Option[Column],
+      labB: Broadcast[LongLongMap]): Column =
+    EU.column(LabelDecideE(EU.expression(id), EU.expression(nbrs),
+      wts.map(EU.expression), labB))
+
+  def prContrib(nbrs: Column, wts: Option[Column], rankB: Broadcast[LongDoubleMap],
+      degB: Broadcast[LongDoubleMap]): Column =
+    EU.column(PrContribE(EU.expression(nbrs), wts.map(EU.expression), rankB, degB))
+
+  def commCounts(nbrs: Column, commB: Broadcast[LongLongMap]): Column =
+    EU.column(CommCountsE(EU.expression(nbrs), commB))
+
+  def labelVotes(nbrs: Column, wts: Option[Column], labB: Broadcast[LongLongMap]): Column =
+    EU.column(LabelVotesE(EU.expression(nbrs), wts.map(EU.expression), labB))
+}

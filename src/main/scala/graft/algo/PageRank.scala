@@ -73,24 +73,33 @@ object PageRank {
     // handling needs the co-partitioned path; broadcast-state covers the
     // engine's common case (edge-derived vertex set, min degree 1).
     val bcast = verticesOpt.isEmpty && v <= cfg.broadcastStateMaxRows
-    // Cached pre-partitioned on the per-iteration NON-broadcast key: the
-    // grouping key (dst) when the state is broadcast — the aggregate then
-    // reuses the cached layout and the iteration is exchange-free — or the
-    // join key (src) on the shuffle path, where only ranks re-exchange.
-    val sym = GraphOps.pinnedSym(edges, if (bcast) "dst" else "src", cfg.weighted,
-      sorted = !bcast)
+
+    if (bcast) {
+      // Broadcast-state strategy iterates over the CSR-packed in-neighbor
+      // lists (one build-time shuffle, then V-row iterations — see
+      // PackedAdjacency / iterPlanPacked).
+      val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+      val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
+      val deg =
+        if (cfg.weighted)
+          symDf.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
+        else
+          symDf.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
+      val packed = graft.graph.PackedAdjacency.build(symDf, "dst", cfg.weighted)
+      val out = runDriverState(edges.sparkSession, packed, deg, v, cfg)
+      packed.unpersist(); verts.unpersist()
+      return out
+    }
+
+    // Shuffle path: cached pre-partitioned on src (the join key); only the
+    // V-row rank side re-exchanges per iteration.
+    val sym = GraphOps.pinnedSym(edges, "src", cfg.weighted, sorted = true)
     // outdeg / out-strength per vertex.
     val deg =
       if (cfg.weighted)
         sym.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
       else
         sym.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
-
-    if (bcast) {
-      val out = runDriverState(edges.sparkSession, sym, deg, v, cfg)
-      sym.unpersist(); verts.unpersist()
-      return out
-    }
 
     // edge-derived vertex sets have min degree 1 by construction — the
     // dangling machinery only wakes up for explicit vertex tables.
@@ -149,7 +158,7 @@ object PageRank {
     * result). No dangling term: this path requires an edge-derived vertex
     * set (min degree 1). */
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
-      sym: DataFrame, deg: DataFrame, v: Double, cfg: Config): DataFrame = {
+      packed: graft.graph.PackedAdj, deg: DataFrame, v: Double, cfg: Config): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val vd = deg.collect()
@@ -169,7 +178,7 @@ object PageRank {
     var done = false
     while (!done && iter < nIter) {
       val rankB = sc.broadcast(graft.util.StateMap.longDouble(ids, ranks, n))
-      val rows = iterPlanMap(sym, rankB, degB, v, cfg).collect()
+      val rows = iterPlanPacked(packed, rankB, degB, v, cfg).collect()
       rankB.destroy()
       val next = ranks.clone() // min-degree-1: every vertex receives a row
       var delta = 0.0
@@ -240,6 +249,32 @@ object PageRank {
       .filter(col("c").isNotNull)
       .groupBy(col("dst").as("id")).agg(sum("c").as("s"))
       .select(col("id"), newRank.as("rank"))
+  }
+
+  /** CSR-packed iteration plan (the production broadcast-state path): a
+    * V-row scan of the packed in-neighbor lists where a codegen'd kernel
+    * (PackedKernels.prContrib) sums rank(u)/deg(u) over each vertex's
+    * in-neighbors in one pass — no aggregate operator at all unless the
+    * build saw hub vertices (maxSegs > 1), in which case per-segment
+    * partial sums are combined by a regular V-row aggregate. Same per-
+    * contribution arithmetic as iterPlan/iterPlanMap; per-vertex
+    * accumulation order is the sorted neighbor array (deterministic across
+    * runs). */
+  private[graft] def iterPlanPacked(packed: graft.graph.PackedAdj,
+      rankOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
+      degOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
+      v: Double, cfg: Config): DataFrame = {
+    val newRank =
+      lit((1.0 - cfg.damping) / v) +
+        lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(0.0))
+    val wcol = if (packed.weighted) Some(col("wts")) else None
+    val contrib = packed.df
+      .select(col("id"), PackedKernels.prContrib(col("nbrs"), wcol, rankOf, degOf).as("c"))
+      .filter(col("c").isNotNull)
+    val s =
+      if (packed.maxSegs > 1) contrib.groupBy("id").agg(sum("c").as("s"))
+      else contrib.withColumnRenamed("c", "s")
+    s.select(col("id"), newRank.as("rank"))
   }
 
   /** Top-k vertices by rank (SURVEY.md §2.6 addition). */

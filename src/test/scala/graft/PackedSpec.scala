@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.algo.{Hedonic, LabelPropagation, PageRank}
+import graft.graph.{GraphOps, PackedAdjacency}
+import graft.util.StateMap
+
+/** Pins the CSR-packed superstep plans (PackedAdjacency + PackedKernels)
+  * decision-identical to the row-based broadcast-map plans they replace,
+  * on both branches: the single-segment kernel path AND the multi-segment
+  * (hub) partial-counts path, forced by building with segCap = 2 so every
+  * vertex is segmented. The row-based plans are themselves pinned to the
+  * shuffle strategy and the serial oracle by StrategySpec/AlgoSpec, so
+  * this closes the identity chain serial -> shuffle -> row-map -> packed. */
+class PackedSpec extends SparkSpec {
+
+  private def sc = spark.sparkContext
+
+  // Zachary with a deliberately messy 5-label state, one vertex (33)
+  // OUTSIDE the state table to pin the join-drop semantics.
+  private val stateSeq: Seq[(Long, Long)] =
+    (0L to 32L).map(i => (i, i % 5))
+  private def sizesOf(st: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    st.groupBy(_._2).map { case (c, xs) => (c, xs.size.toLong) }.toSeq
+
+  private def llMap(pairs: Seq[(Long, Long)]) =
+    StateMap.longLong(pairs.map(_._1).toArray, pairs.map(_._2).toArray, pairs.size)
+  private def ldMap(pairs: Seq[(Long, Double)]) =
+    StateMap.longDouble(pairs.map(_._1).toArray, pairs.map(_._2).toArray, pairs.size)
+
+  private def rows3(df: DataFrame): Set[(Long, Long, Boolean)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  test("hedonic: packed kernel and hub branch match the row-based plan") {
+    val e = edgesOf(Fixtures.zachary)
+    val symDf = GraphOps.symmetrize(e).select("src", "dst")
+    val commB = sc.broadcast(llMap(stateSeq))
+    val sizeB = sc.broadcast(llMap(sizesOf(stateSeq)))
+    val alpha = 0.12
+    val gate = graft.util.Portable.parityGate(col("id"), 3)
+    val expect = rows3(Hedonic.stepPlanMap(symDf, commB, sizeB, alpha, gate))
+    assert(expect.nonEmpty) // the fixture must actually exercise movers
+    for (cap <- Seq(1 << 20, 2)) {
+      val p = PackedAdjacency.build(symDf, "src", weighted = false, segCap = cap)
+      if (cap == 2) assert(p.maxSegs > 1) else assert(p.maxSegs == 1)
+      val got = rows3(Hedonic.stepPlanPacked(p, commB, sizeB, alpha, gate))
+      assert(got == expect, s"segCap=$cap")
+      p.unpersist()
+    }
+    commB.destroy(); sizeB.destroy()
+  }
+
+  test("lpa: packed kernel and hub branch match the row-based plan (w + uw)") {
+    import spark.implicits._
+    // Varied weights so the weighted vote actually differs from the count.
+    val wedges = Fixtures.zachary.map { case (u, v) =>
+      graft.model.Edge(u, v, ((u + 2 * v) % 3 + 1).toDouble)
+    }.toDS()
+    val labB = sc.broadcast(llMap(stateSeq))
+    val gate = graft.util.Portable.parityGate(col("id"), 1)
+    for (weighted <- Seq(false, true)) {
+      val cols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+      val symDf = GraphOps.symmetrize(wedges).select(cols.map(col): _*)
+      val expect = rows3(LabelPropagation.stepPlanMap(symDf, labB, weighted, gate))
+      assert(expect.nonEmpty)
+      for (cap <- Seq(1 << 20, 2)) {
+        val p = PackedAdjacency.build(symDf, "src", weighted, segCap = cap)
+        val got = rows3(LabelPropagation.stepPlanPacked(p, labB, gate))
+        assert(got == expect, s"weighted=$weighted segCap=$cap")
+        p.unpersist()
+      }
+    }
+    labB.destroy()
+  }
+
+  test("pagerank: packed iteration matches the row-based plan at 1e-15") {
+    import spark.implicits._
+    val wedges = Fixtures.zachary.map { case (u, v) =>
+      graft.model.Edge(u, v, ((u + v) % 4 + 1).toDouble)
+    }.toDS()
+    val v = 34.0
+    for (weighted <- Seq(false, true)) {
+      val cols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+      val symDf = GraphOps.symmetrize(wedges).select(cols.map(col): _*)
+      val cfg = PageRank.Config(weighted = weighted)
+      val degSeq = (if (weighted)
+        symDf.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
+      else
+        symDf.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg")))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rankSeq = degSeq.map { case (id, _) => (id, (id + 1).toDouble / 700.0) }
+      val degB = sc.broadcast(ldMap(degSeq))
+      val rankB = sc.broadcast(ldMap(rankSeq))
+      val expect = PageRank.iterPlanMap(symDf, rankB, degB, v, cfg)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for (cap <- Seq(1 << 20, 2)) {
+        val p = PackedAdjacency.build(symDf, "dst", weighted, segCap = cap)
+        val got = PageRank.iterPlanPacked(p, rankB, degB, v, cfg)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == expect.keySet, s"weighted=$weighted segCap=$cap")
+        // Same arithmetic, summation order differs (sorted array vs row
+        // order) — agreement to accumulation rounding only.
+        got.foreach { case (id, r) =>
+          assert(math.abs(r - expect(id)) < 1e-15, s"weighted=$weighted segCap=$cap id=$id")
+        }
+        p.unpersist()
+      }
+      degB.destroy(); rankB.destroy()
+    }
+  }
+
+  test("packed single-segment superstep plans have zero shuffle exchanges") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def spine(df: DataFrame): Int = {
+      def walk(p: SparkPlan): Int = p match {
+        case _: BroadcastExchangeLike => 0
+        case s: ShuffleExchangeLike   => 1 + s.children.map(walk).sum
+        case o                        => o.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = edgesOf(Fixtures.zachary)
+      val symDf = GraphOps.symmetrize(e).select("src", "dst")
+      val p = PackedAdjacency.build(symDf, "src")
+      val commB = sc.broadcast(llMap(stateSeq))
+      val sizeB = sc.broadcast(llMap(sizesOf(stateSeq)))
+      val degB = sc.broadcast(ldMap((0L to 33L).map(i => (i, 2.0))))
+      val rankB = sc.broadcast(ldMap((0L to 33L).map(i => (i, 1.0 / 34))))
+      val h = Hedonic.stepPlanPacked(p, commB, sizeB, 0.1, lit(true))
+      assert(spine(h) == 0, h.queryExecution.executedPlan.toString)
+      val l = LabelPropagation.stepPlanPacked(p, commB, lit(true))
+      assert(spine(l) == 0, l.queryExecution.executedPlan.toString)
+      val pr = PageRank.iterPlanPacked(p, rankB, degB, 34.0, PageRank.Config())
+      assert(spine(pr) == 0, pr.queryExecution.executedPlan.toString)
+      commB.destroy(); sizeB.destroy(); degB.destroy(); rankB.destroy()
+      p.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
