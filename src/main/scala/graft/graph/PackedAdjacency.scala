@@ -52,31 +52,68 @@ object PackedAdjacency {
 
   /** Pack `sym` (symmetrized edges: src, dst[, weight]) by `key`; the
     * other endpoint column becomes the neighbor array. When `weighted`,
-    * a parallel `wts` array<double> is produced (same order as nbrs). */
+    * a parallel `wts` array<double> is produced (same order as nbrs).
+    *
+    * Assembly is shuffle -> in-partition binary sort -> linear scan
+    * (mapPartitions), NOT groupBy(collect_list): collect_list grows a
+    * boxed-object buffer per group, and at 133M edges the allocation
+    * churn made the build GC-bound — measured SLOWER at 32 cores than at
+    * 8 (30+40 s stages, half the task time off-CPU). The sort path keeps
+    * rows binary end-to-end (UnsafeExternalSorter radix/spill machinery),
+    * and the scan allocates exactly one primitive array per vertex
+    * segment. This is the classic distributed CSR build; the in-partition
+    * sort also hands every kernel a sorted neighbor array for free
+    * (deterministic float accumulation order). */
   def build(sym: DataFrame, key: String, weighted: Boolean = false,
             segCap: Int = 1 << 20): PackedAdj = {
+    val spark = sym.sparkSession
+    import spark.implicits._
     val nbr = if (key == "src") "dst" else "src"
     val nseg = sym.groupBy(col(key)).agg(count(lit(1)).as("d"))
       .select(col(key), ceil(col("d") / lit(segCap.toDouble)).cast("int").as("nsegs"))
-    val seg = sym.join(broadcast(nseg), Seq(key))
-      .withColumn("seg", pmod(xxhash64(col(nbr)), col("nsegs").cast("long")))
-    val packed0 =
-      if (weighted)
-        seg.groupBy(col(key).as("id"), col("seg"))
-          .agg(max(col("nsegs")).as("nsegs"),
-            array_sort(collect_list(struct(col(nbr).as("n"),
-              col("weight").cast("double").as("w")))).as("nw"))
-          .select(col("id"), col("nsegs"),
-            transform(col("nw"), x => x.getField("n")).as("nbrs"),
-            transform(col("nw"), x => x.getField("w")).as("wts"))
-      else
-        seg.groupBy(col(key).as("id"), col("seg"))
-          .agg(max(col("nsegs")).as("nsegs"),
-            array_sort(collect_list(col(nbr))).as("nbrs"))
-          .select(col("id"), col("nsegs"), col("nbrs"))
+    val rows = sym.join(broadcast(nseg), Seq(key))
+      .select(col(key).as("id"),
+        pmod(xxhash64(col(nbr)), col("nsegs").cast("long")).as("seg"),
+        col("nsegs"),
+        col(nbr).as("n"),
+        (if (weighted) col("weight").cast("double") else lit(0.0)).as("w"))
+      .repartition(col("id"), col("seg"))
+      .sortWithinPartitions("id", "seg", "n")
+      .as[NbrRow]
+    val w = weighted // serialize the flag, not the builder
+    val assembled = rows.mapPartitions { it =>
+      new Iterator[(Long, Int, Array[Long], Array[Double])] {
+        private val empty = Array.empty[Double]
+        private var cur: NbrRow = if (it.hasNext) it.next() else null
+        private val nb = new scala.collection.mutable.ArrayBuilder.ofLong
+        private val wb = new scala.collection.mutable.ArrayBuilder.ofDouble
+        override def hasNext: Boolean = cur != null
+        override def next(): (Long, Int, Array[Long], Array[Double]) = {
+          val id = cur.id
+          val seg = cur.seg
+          val ns = cur.nsegs
+          nb.clear()
+          if (w) wb.clear()
+          var go = true
+          while (go) {
+            nb += cur.n
+            if (w) wb += cur.w
+            cur = if (it.hasNext) it.next() else null
+            go = cur != null && cur.id == id && cur.seg == seg
+          }
+          (id, ns, nb.result(), if (w) wb.result() else empty)
+        }
+      }
+    }.toDF("id", "nsegs", "nbrs", "wts")
+    val packed0 = if (weighted) assembled else assembled.drop("wts")
     val packed = packed0.persist()
     packed.count()
     val maxSegs = packed.agg(max("nsegs")).collect()(0).getInt(0)
     PackedAdj(packed, maxSegs, weighted)
   }
 }
+
+/** One edge endpoint pre-assembly: vertex, segment, segment count, the
+  * neighbor, its weight (0 when unweighted). All-primitive fields so the
+  * assembly scan deserializes without boxing. */
+private[graph] final case class NbrRow(id: Long, seg: Long, nsegs: Int, n: Long, w: Double)
