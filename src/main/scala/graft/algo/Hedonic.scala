@@ -195,8 +195,8 @@ object Hedonic {
     * to the mover frontier as the run converges. */
   private[graft] def stepPlanMap(
       sym: DataFrame,
-      commOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
-      sizeOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      commOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      sizeOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
     import graft.util.StateMap
@@ -214,8 +214,8 @@ object Hedonic {
     * branch, so hub decisions are expression-identical to the row plan. */
   private[graft] def decideFromCounts(
       counts: DataFrame,
-      commOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
-      sizeOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      commOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      sizeOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
       alpha: Double): DataFrame = {
     import graft.util.StateMap
     val cand = counts
@@ -257,8 +257,8 @@ object Hedonic {
     * stepPlanMap (PackedSpec pins both, including the hub branch). */
   private[graft] def stepPlanPacked(
       packed: graft.graph.PackedAdj,
-      commOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
-      sizeOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap],
+      commOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      sizeOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
     val dec1 = packed.df.filter(col("nsegs") === 1)
@@ -431,19 +431,17 @@ object Hedonic {
   }
 
   /** Broadcast-strategy loop with DRIVER-RESIDENT state (V fits the
-    * broadcast budget by definition, so it fits the driver). Each superstep
-    * broadcasts two primitive maps built from the local arrays (id ->
-    * community, community -> size), feeds stepPlanPacked, and collects only
-    * the WANTER rows back: ONE single-stage Spark job per superstep,
-    * nothing pinned, no cached state to release, no stats growth. The
-    * round number enters the parity gate via StateMap.intRef so every
-    * superstep's generated code is byte-identical (Janino cache hit
-    * instead of a fresh ~0.5-1 s compile per round). All payoff/argmax/
-    * gate arithmetic stays IN-PLAN — identical expressions to the shuffle
-    * path — so results are bitwise-reproducible across strategies
-    * (StrategySpec) and DuckDB replay (q_hedonic_full etc.) is
-    * unaffected. Each round's broadcasts are destroyed once the collect
-    * lands so a long run doesn't accumulate blocks. */
+    * broadcast budget by definition, so it fits the driver). The superstep
+    * plan is built ONCE over mutable Ref cells (two primitive maps: id ->
+    * community, community -> size, plus the round number for the gate)
+    * and re-collected every round with fresh contents (StateMap.Ref) —
+    * no per-round planning, codegen, or broadcast-variable churn. Each
+    * superstep is ONE single-stage Spark job collecting only the WANTER
+    * rows; nothing pinned, no cached state to release, no stats growth.
+    * All payoff/argmax/gate arithmetic stays IN-PLAN — identical
+    * expressions to the shuffle path — so results are bitwise-
+    * reproducible across strategies (StrategySpec) and DuckDB replay
+    * (q_hedonic_full etc.) is unaffected. */
   private def runDriverState(
       edges: Dataset[Edge],
       packed: graft.graph.PackedAdj,
@@ -468,17 +466,25 @@ object Hedonic {
     def stateDF: DataFrame =
       (0 until n).map(k => (ids(k), comms(k))).toDF("id", "community")
 
-    val sc = spark.sparkContext
     val timing = sys.env.get("SPARK_GRAFT_STEP_TIMING").exists(_.toBoolean)
+    // The superstep DataFrame is built ONCE and re-collected every round;
+    // only the Ref contents change between rounds (see StateMap.Ref — this
+    // removes per-superstep analysis/optimization/planning and broadcast
+    // variable churn, the last flat driver costs in the loop).
+    import graft.util.StateMap
+    val commR = new StateMap.Ref[StateMap.LongLongMap](null)
+    val sizeR = new StateMap.Ref[StateMap.LongLongMap](null)
+    val roundR = new StateMap.Ref[Integer](Integer.valueOf(0))
+    val gate =
+      if (cfg.parityGating)
+        graft.util.Portable.parityGate(col("id"), StateMap.intRef(roundR))
+      else lit(true)
+    val stepDf = stepPlanPacked(packed, commR, sizeR, alpha, gate)
     var metrics = Vector.empty[RunMetrics]
     var superstep = startStep
     var converged = false
     while (!converged && superstep < cfg.maxSupersteps) {
       val t0 = System.nanoTime()
-      val gate =
-        if (cfg.parityGating)
-          graft.util.Portable.parityGate(col("id"), graft.util.StateMap.intRef(superstep))
-        else lit(true)
       val sizeMap = new scala.collection.mutable.LongMap[Long](n * 2)
       var j = 0
       while (j < n) {
@@ -486,10 +492,11 @@ object Hedonic {
         j += 1
       }
       val tSizes = System.nanoTime()
-      val commB = sc.broadcast(graft.util.StateMap.longLong(ids, comms, n))
-      val sizeB = sc.broadcast(graft.util.StateMap.longLong(sizeMap))
+      commR.value = StateMap.longLong(ids, comms, n)
+      sizeR.value = StateMap.longLong(sizeMap)
+      roundR.value = Integer.valueOf(superstep)
       val tLocal = System.nanoTime()
-      val rows = stepPlanPacked(packed, commB, sizeB, alpha, gate).collect()
+      val rows = stepDf.collect()
       val tJob = System.nanoTime()
       // Every collected row is a wanter (wants = true pre-filtered in-plan);
       // doMove carries the gate. Non-wanters change nothing and are not
@@ -507,7 +514,6 @@ object Hedonic {
         }
         k += 1
       }
-      commB.destroy(); sizeB.destroy()
       if (timing) System.err.println(
         f"stepTiming ss=$superstep sizes=${(tSizes - t0) / 1e6}%.0f " +
         f"local=${(tLocal - tSizes) / 1e6}%.0f job=${(tJob - tLocal) / 1e6}%.0f " +

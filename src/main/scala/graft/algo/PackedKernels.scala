@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.broadcast.Broadcast
+import graft.util.StateMap.Ref
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -250,19 +250,18 @@ object PackedKernels {
 
   // ---- Catalyst expression wrappers --------------------------------------
 
-  private val bcastCls = "org.apache.spark.broadcast.Broadcast"
+  private val refCls = graft.util.StateMap.refCls
   private val llCls = classOf[LongLongMap].getName
   private val ldCls = classOf[LongDoubleMap].getName
 
-  /** Registers a broadcast map in the references array and returns the name
-    * of a task-level mutable field holding its dereferenced value. */
-  private def mapState(ctx: CodegenContext, b: Broadcast[_], cls: String): String = {
-    val ref = ctx.addReferenceObj("stateBcast", b, bcastCls)
+
+  private def mapState(ctx: CodegenContext, b: Ref[_], cls: String): String = {
+    val ref = ctx.addReferenceObj("stateRef", b, refCls)
     ctx.addMutableState(cls, "stateMap", v => s"$v = ($cls) $ref.value();")
   }
 
   private case class HedonicDecideE(idE: Expression, nbrsE: Expression,
-      commB: Broadcast[LongLongMap], sizeB: Broadcast[LongLongMap], alpha: Double)
+      commB: Ref[LongLongMap], sizeB: Ref[LongLongMap], alpha: Double)
       extends Expression {
     override def children: Seq[Expression] = Seq(idE, nbrsE)
     override def dataType: DataType = LongType
@@ -301,7 +300,7 @@ object PackedKernels {
   }
 
   private case class LabelDecideE(idE: Expression, nbrsE: Expression,
-      wtsE: Option[Expression], labB: Broadcast[LongLongMap])
+      wtsE: Option[Expression], labB: Ref[LongLongMap])
       extends Expression {
     override def children: Seq[Expression] = Seq(idE, nbrsE) ++ wtsE
     override def dataType: DataType = LongType
@@ -346,7 +345,7 @@ object PackedKernels {
   }
 
   private case class PrContribE(nbrsE: Expression, wtsE: Option[Expression],
-      rankB: Broadcast[LongDoubleMap], degB: Broadcast[LongDoubleMap])
+      rankB: Ref[LongDoubleMap], degB: Ref[LongDoubleMap])
       extends Expression {
     override def children: Seq[Expression] = Seq(nbrsE) ++ wtsE
     override def dataType: DataType = DoubleType
@@ -391,7 +390,7 @@ object PackedKernels {
   /** Hub-branch partials are cold (multi-segment vertices only), so these
     * two stay interpreted (CodegenFallback) — the loop work is in the
     * static kernels either way. */
-  private case class CommCountsE(nbrsE: Expression, commB: Broadcast[LongLongMap])
+  private case class CommCountsE(nbrsE: Expression, commB: Ref[LongLongMap])
       extends Expression with CodegenFallback {
     override def children: Seq[Expression] = Seq(nbrsE)
     override def dataType: DataType = ArrayType(StructType(Seq(
@@ -409,7 +408,7 @@ object PackedKernels {
   }
 
   private case class LabelVotesE(nbrsE: Expression, wtsE: Option[Expression],
-      labB: Broadcast[LongLongMap])
+      labB: Ref[LongLongMap])
       extends Expression with CodegenFallback {
     override def children: Seq[Expression] = Seq(nbrsE) ++ wtsE
     override def dataType: DataType = ArrayType(StructType(Seq(
@@ -432,22 +431,22 @@ object PackedKernels {
 
   // ---- Column builders ----------------------------------------------------
 
-  def hedonicDecide(id: Column, nbrs: Column, commB: Broadcast[LongLongMap],
-      sizeB: Broadcast[LongLongMap], alpha: Double): Column =
+  def hedonicDecide(id: Column, nbrs: Column, commB: Ref[LongLongMap],
+      sizeB: Ref[LongLongMap], alpha: Double): Column =
     EU.column(HedonicDecideE(EU.expression(id), EU.expression(nbrs), commB, sizeB, alpha))
 
   def labelDecide(id: Column, nbrs: Column, wts: Option[Column],
-      labB: Broadcast[LongLongMap]): Column =
+      labB: Ref[LongLongMap]): Column =
     EU.column(LabelDecideE(EU.expression(id), EU.expression(nbrs),
       wts.map(EU.expression), labB))
 
-  def prContrib(nbrs: Column, wts: Option[Column], rankB: Broadcast[LongDoubleMap],
-      degB: Broadcast[LongDoubleMap]): Column =
+  def prContrib(nbrs: Column, wts: Option[Column], rankB: Ref[LongDoubleMap],
+      degB: Ref[LongDoubleMap]): Column =
     EU.column(PrContribE(EU.expression(nbrs), wts.map(EU.expression), rankB, degB))
 
-  def commCounts(nbrs: Column, commB: Broadcast[LongLongMap]): Column =
+  def commCounts(nbrs: Column, commB: Ref[LongLongMap]): Column =
     EU.column(CommCountsE(EU.expression(nbrs), commB))
 
-  def labelVotes(nbrs: Column, wts: Option[Column], labB: Broadcast[LongLongMap]): Column =
+  def labelVotes(nbrs: Column, wts: Option[Column], labB: Ref[LongLongMap]): Column =
     EU.column(LabelVotesE(EU.expression(nbrs), wts.map(EU.expression), labB))
 }

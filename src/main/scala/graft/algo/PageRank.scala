@@ -154,15 +154,13 @@ object PageRank {
   }
 
   /** Broadcast-strategy loop with DRIVER-RESIDENT ranks (V fits the
-    * broadcast budget, hence the driver). Per iteration the rank vector is
-    * broadcast as a primitive id -> rank map read through codegen'd lookup
-    * expressions (graft.util.StateMap — see Hedonic.stepPlanMap for why
-    * this beats LocalRelation + broadcast join: each LocalRelation
-    * broadcast build is a real job with the V rows serialized into task
-    * closures). An iteration is exactly ONE single-stage job:
-    * cached-adjacency scan, in-place aggregate on the cached dst
-    * partitioning, V-row collect. Nothing is pinned; the degree map is
-    * broadcast ONCE (degrees never change). The rank update stays IN-PLAN,
+    * broadcast budget, hence the driver). The iteration plan is built
+    * ONCE over mutable Ref cells (rank map per round; degree map set
+    * once — degrees never change) and re-collected every round
+    * (StateMap.Ref): no per-round planning, codegen, or broadcast
+    * churn. An iteration is exactly ONE single-stage job: packed-
+    * adjacency scan, per-vertex contribution kernel, V-row collect;
+    * nothing is pinned. The rank update stays IN-PLAN,
     * same arithmetic shape as the shuffle path's expression (rank/deg per
     * contribution row); only the tol-mode |delta| sum moves to the driver
     * (same values, different summation order — a stopping heuristic, not a
@@ -172,7 +170,6 @@ object PageRank {
       packed: graft.graph.PackedAdj, deg: DataFrame, v: Double,
       cfg: Config): (DataFrame, Seq[Long]) = {
     import spark.implicits._
-    val sc = spark.sparkContext
     val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val vd = deg.collect()
     val n = vd.length
@@ -184,16 +181,19 @@ object PageRank {
       ids(i) = vd(i).getLong(0); degs(i) = vd(i).getDouble(1)
       idx(ids(i)) = i; i += 1
     }
-    val degB = sc.broadcast(graft.util.StateMap.longDouble(ids, degs, n))
+    // Plan built once, rank Ref mutated per round (see StateMap.Ref).
+    import graft.util.StateMap
+    val degR = new StateMap.Ref(StateMap.longDouble(ids, degs, n))
+    val rankR = new StateMap.Ref[StateMap.LongDoubleMap](null)
+    val iterDf = iterPlanPacked(packed, rankR, degR, v, cfg)
     var ranks = Array.fill(n)(1.0 / v)
     val nIter = cfg.fixedIter.getOrElse(cfg.maxIter)
     var iter = 0
     var done = false
     while (!done && iter < nIter) {
       val t0 = System.nanoTime()
-      val rankB = sc.broadcast(graft.util.StateMap.longDouble(ids, ranks, n))
-      val rows = iterPlanPacked(packed, rankB, degB, v, cfg).collect()
-      rankB.destroy()
+      rankR.value = StateMap.longDouble(ids, ranks, n)
+      val rows = iterDf.collect()
       val next = ranks.clone() // min-degree-1: every vertex receives a row
       var delta = 0.0
       var k = 0
@@ -209,7 +209,6 @@ object PageRank {
       iterMs += (System.nanoTime() - t0) / 1000000
       iter += 1
     }
-    degB.destroy()
     ((0 until n).map(k => (ids(k), ranks(k))).toDF("id", "rank"), iterMs.toSeq)
   }
 
@@ -247,8 +246,8 @@ object PageRank {
     * drop of src outside the rank state (never hit for edge-derived
     * vertex sets, where deg covers every src). */
   private[graft] def iterPlanMap(sym: DataFrame,
-      rankOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
-      degOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
+      rankOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
+      degOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
       v: Double, cfg: Config): DataFrame = {
     import graft.util.StateMap
     val rank = StateMap.lookup(rankOf, col("src"))
@@ -276,8 +275,8 @@ object PageRank {
     * accumulation order is the sorted neighbor array (deterministic across
     * runs). */
   private[graft] def iterPlanPacked(packed: graft.graph.PackedAdj,
-      rankOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
-      degOf: org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap],
+      rankOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
+      degOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
       v: Double, cfg: Config): DataFrame = {
     val newRank =
       lit((1.0 - cfg.damping) / v) +

@@ -1,6 +1,5 @@
 package graft.util
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, UnaryExpression}
@@ -9,8 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.{GraftExpressionBridge => ExpressionUtils}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
-/** Broadcast-variable iteration state: compact primitive hash maps +
-  * codegen'd Catalyst lookup expressions.
+/** Driver-resident iteration state carried into REUSED plans: compact
+  * primitive hash maps + codegen'd Catalyst lookup expressions + mutable
+  * Ref cells.
   *
   * Why not LocalRelation + broadcast hash join for the per-superstep state
   * side? Measured on the 66.7M-edge scaling graph (round 3 probe): each
@@ -23,18 +23,33 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   * flat in the core count, which is exactly what the N-vs-4N scaling
   * efficiency target penalizes.
   *
-  * Here the V-row state crosses into the plan as a
-  * `sparkContext.broadcast` of an open-addressing primitive map (8–16 B
-  * per vertex, no boxing), and the gather side reads it through a native
-  * Catalyst `Expression` with `doGenCode` — a hash probe inside the
-  * whole-stage-codegen'd scan, zero extra jobs, zero extra stages, and
-  * task binaries stay small (the broadcast handle serializes to an id).
-  * A superstep is then ONE single-stage job on the cached adjacency.
+  * Here the V-row state crosses into the plan as an open-addressing
+  * primitive map (8–16 B per vertex, no boxing) inside a Ref cell, and
+  * the gather side reads it through a native Catalyst `Expression` with
+  * `doGenCode` — a hash probe inside the whole-stage-codegen'd scan, zero
+  * extra jobs, zero extra stages. A superstep is then ONE single-stage
+  * job on the cached adjacency, and because the plan only sees the Ref,
+  * the SAME DataFrame is re-collected every round with fresh contents.
   *
-  * On a real cluster the same shape holds: the map ships once per
-  * executor via torrent broadcast instead of once per task.
+  * On a real cluster the same shape holds: the map rides the stage's
+  * torrent-broadcast taskBinary, shipping once per executor.
   */
 object StateMap {
+
+  /** Serializable mutable cell carrying per-round iteration state into a
+    * REUSED plan. The superstep loops build their DataFrame ONCE and call
+    * collect() on the same object every round, mutating only the Refs in
+    * between: Dataset memoizes its QueryExecution, so analysis,
+    * optimization, physical planning, and codegen lookup all happen once
+    * per RUN instead of once per superstep (measured ~0.2-0.4 s of flat
+    * serial driver time per round). The current contents ship to
+    * executors inside each stage's closure/taskBinary — which Spark
+    * torrent-broadcasts exactly like an explicit sc.broadcast — captured
+    * at job-submission time, so a sequential loop sees each round's
+    * state exactly; no broadcast variables are created or destroyed.
+    * @volatile orders the driver-side write before the job submission's
+    * serialization read. */
+  final class Ref[T](@volatile var value: T) extends Serializable
 
   private val EMPTY = Long.MinValue
 
@@ -128,6 +143,8 @@ object StateMap {
     longLong(ids, vs, j)
   }
 
+  private[graft] val refCls = classOf[Ref[_]].getName
+
   /** NULL when the key is absent or the child is null — mirrors the row
     * drop an inner equi-join with the state relation performed. */
   private abstract class MapLookup extends UnaryExpression {
@@ -147,8 +164,7 @@ object StateMap {
       }
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val bRef = ctx.addReferenceObj("stateMapBcast", mapRef,
-        "org.apache.spark.broadcast.Broadcast")
+      val bRef = ctx.addReferenceObj("stateMapRef", mapRef, refCls)
       val m = ctx.addMutableState(mapClass, "stateMap",
         v => s"$v = ($mapClass) $bRef.value();")
       val kGen = child.genCode(ctx)
@@ -166,57 +182,62 @@ object StateMap {
     }
   }
 
-  private case class LongMapLookup(child: Expression, bcast: Broadcast[LongLongMap])
+  private case class LongMapLookup(child: Expression, ref: Ref[LongLongMap])
       extends MapLookup {
     override def dataType: DataType = LongType
     override protected def mapClass: String = classOf[LongLongMap].getName
-    override protected def mapRef: AnyRef = bcast
-    override protected def slotOf(k: Long): Int = bcast.value.slot(k)
-    override protected def valAt(i: Int): Any = bcast.value.valueAt(i)
+    override protected def mapRef: AnyRef = ref
+    override protected def slotOf(k: Long): Int = ref.value.slot(k)
+    override protected def valAt(i: Int): Any = ref.value.valueAt(i)
     override protected def javaZero: String = "-1L"
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  private case class DoubleMapLookup(child: Expression, bcast: Broadcast[LongDoubleMap])
+  private case class DoubleMapLookup(child: Expression, ref: Ref[LongDoubleMap])
       extends MapLookup {
     override def dataType: DataType = DoubleType
     override protected def mapClass: String = classOf[LongDoubleMap].getName
-    override protected def mapRef: AnyRef = bcast
-    override protected def slotOf(k: Long): Int = bcast.value.slot(k)
-    override protected def valAt(i: Int): Any = bcast.value.valueAt(i)
+    override protected def mapRef: AnyRef = ref
+    override protected def slotOf(k: Long): Int = ref.value.slot(k)
+    override protected def valAt(i: Int): Any = ref.value.valueAt(i)
     override protected def javaZero: String = "-1.0"
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  /** An int literal that enters generated code through the references
-    * array instead of being inlined into the source. Superstep loops put
-    * the round number in every plan (the parity gate); an inlined literal
+  /** An int that enters generated code through the references array
+    * instead of being inlined into the source. Superstep loops put the
+    * round number in every plan (the parity gate); an inlined literal
     * changes the generated source each round and defeats the Janino
     * compile cache (~0.5-1 s of serial driver time per superstep), while a
-    * reference-backed value keeps the source byte-identical across rounds.
-    * Non-foldable so constant folding cannot re-inline it. */
-  private case class IntRef(value: Int) extends LeafExpression {
+    * reference-backed value keeps the source byte-identical across rounds
+    * — and a Ref-backed value additionally lets the WHOLE plan be reused
+    * across rounds (see Ref). Non-foldable so constant folding cannot
+    * re-inline it. */
+  private case class IntRefExpr(ref: Ref[Integer]) extends LeafExpression {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = false
     override def foldable: Boolean = false
-    override def eval(input: InternalRow): Any = value
+    override def eval(input: InternalRow): Any = ref.value.intValue()
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("intRef", Integer.valueOf(value), "java.lang.Integer")
-      val v = ctx.addMutableState("int", "intRefVal", n => s"$n = $ref.intValue();")
+      val r = ctx.addReferenceObj("intRef", ref, refCls)
+      val v = ctx.addMutableState("int", "intRefVal",
+        n => s"$n = ((java.lang.Integer) $r.value()).intValue();")
       ev.copy(code = code"", isNull = org.apache.spark.sql.catalyst.expressions.codegen
         .FalseLiteral, value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
         .variable(v, IntegerType))
     }
   }
 
-  def lookup(bcast: Broadcast[LongLongMap], key: Column): Column =
-    ExpressionUtils.column(LongMapLookup(ExpressionUtils.expression(key), bcast))
+  def lookup(ref: Ref[LongLongMap], key: Column): Column =
+    ExpressionUtils.column(LongMapLookup(ExpressionUtils.expression(key), ref))
 
-  def lookup(bcast: Broadcast[LongDoubleMap], key: Column)(
+  def lookup(ref: Ref[LongDoubleMap], key: Column)(
       implicit d: DummyImplicit): Column =
-    ExpressionUtils.column(DoubleMapLookup(ExpressionUtils.expression(key), bcast))
+    ExpressionUtils.column(DoubleMapLookup(ExpressionUtils.expression(key), ref))
 
-  def intRef(value: Int): Column = ExpressionUtils.column(IntRef(value))
+  def intRef(value: Int): Column = intRef(new Ref(Integer.valueOf(value)))
+
+  def intRef(ref: Ref[Integer]): Column = ExpressionUtils.column(IntRefExpr(ref))
 }

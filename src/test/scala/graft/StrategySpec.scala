@@ -85,14 +85,14 @@ class StrategySpec extends SparkSpec {
     import graft.util.StateMap
     val sc = spark.sparkContext
     val ids = (0L to 7L).toArray
-    val commB = sc.broadcast(StateMap.longLong(ids, ids, ids.length))
-    val sizeB = sc.broadcast(StateMap.longLong(ids, Array.fill(8)(1L), ids.length))
+    val commB = new StateMap.Ref(StateMap.longLong(ids, ids, ids.length))
+    val sizeB = new StateMap.Ref(StateMap.longLong(ids, Array.fill(8)(1L), ids.length))
     val hplan = Hedonic.stepPlanMap(symSrc, commB, sizeB, 0.25, lit(true))
     assert(spineShuffles(hplan) == 0, hplan.queryExecution.executedPlan.toString)
     // PageRank driver-state iteration (broadcast rank/degree maps).
     val symDst = GraphOps.pinnedSym(e, "dst")
-    val rankB = sc.broadcast(StateMap.longDouble(ids, Array.fill(8)(0.125), ids.length))
-    val degB = sc.broadcast(StateMap.longDouble(ids, Array.fill(8)(2.0), ids.length))
+    val rankB = new StateMap.Ref(StateMap.longDouble(ids, Array.fill(8)(0.125), ids.length))
+    val degB = new StateMap.Ref(StateMap.longDouble(ids, Array.fill(8)(2.0), ids.length))
     val pplan = PageRank.iterPlanMap(symDst, rankB, degB, 8.0, PageRank.Config())
     assert(spineShuffles(pplan) == 0, pplan.queryExecution.executedPlan.toString)
     // LPA driver-state step (broadcast label map).
@@ -104,7 +104,6 @@ class StrategySpec extends SparkSpec {
       membersOf((0L to 7L).map(i => (i, i))).select(col("id"), col("community").as("label")))
     val lplan2 = LabelPropagation.step(symSrc, labels, bcastState = true)
     assert(spineShuffles(lplan2) == 0, lplan2.queryExecution.executedPlan.toString)
-    commB.destroy(); sizeB.destroy(); rankB.destroy(); degB.destroy()
     symSrc.unpersist(); symDst.unpersist()
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
