@@ -195,8 +195,8 @@ object Hedonic {
     * to the mover frontier as the run converges. */
   private[graft] def stepPlanMap(
       sym: DataFrame,
-      commOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
-      sizeOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      commOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
+      sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
     import graft.util.StateMap
@@ -214,8 +214,8 @@ object Hedonic {
     * branch, so hub decisions are expression-identical to the row plan. */
   private[graft] def decideFromCounts(
       counts: DataFrame,
-      commOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
-      sizeOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      commOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
+      sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       alpha: Double): DataFrame = {
     import graft.util.StateMap
     val cand = counts
@@ -257,8 +257,8 @@ object Hedonic {
     * stepPlanMap (PackedSpec pins both, including the hub branch). */
   private[graft] def stepPlanPacked(
       packed: graft.graph.PackedAdj,
-      commOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
-      sizeOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      commOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
+      sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
     val dec1 = packed.df.filter(col("nsegs") === 1)
@@ -466,14 +466,19 @@ object Hedonic {
     def stateDF: DataFrame =
       (0 until n).map(k => (ids(k), comms(k))).toDF("id", "community")
 
+    val sc = spark.sparkContext
     val timing = sys.env.get("SPARK_GRAFT_STEP_TIMING").exists(_.toBoolean)
     // The superstep DataFrame is built ONCE and re-collected every round;
-    // only the Ref contents change between rounds (see StateMap.Ref — this
-    // removes per-superstep analysis/optimization/planning and broadcast
-    // variable churn, the last flat driver costs in the loop).
+    // only the Ref contents — per-round BROADCAST HANDLES — change between
+    // rounds (see StateMap.Ref): no per-superstep analysis/optimization/
+    // planning, tiny task closures, and the maps ship executor-cached via
+    // real broadcasts (shipping them inside the closure instead was
+    // measured 2x slower: every task re-deserialized 16+ MB of state).
     import graft.util.StateMap
-    val commR = new StateMap.Ref[StateMap.LongLongMap](null)
-    val sizeR = new StateMap.Ref[StateMap.LongLongMap](null)
+    val commR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      StateMap.LongLongMap]](null)
+    val sizeR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      StateMap.LongLongMap]](null)
     val roundR = new StateMap.Ref[Integer](Integer.valueOf(0))
     val gate =
       if (cfg.parityGating)
@@ -492,11 +497,12 @@ object Hedonic {
         j += 1
       }
       val tSizes = System.nanoTime()
-      commR.value = StateMap.longLong(ids, comms, n)
-      sizeR.value = StateMap.longLong(sizeMap)
+      commR.value = sc.broadcast(StateMap.longLong(ids, comms, n))
+      sizeR.value = sc.broadcast(StateMap.longLong(sizeMap))
       roundR.value = Integer.valueOf(superstep)
       val tLocal = System.nanoTime()
       val rows = stepDf.collect()
+      commR.value.destroy(); sizeR.value.destroy()
       val tJob = System.nanoTime()
       // Every collected row is a wanter (wants = true pre-filtered in-plan);
       // doMove carries the gate. Non-wanters change nothing and are not

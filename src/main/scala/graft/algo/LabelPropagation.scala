@@ -111,7 +111,7 @@ object LabelPropagation {
     * old driver merge's `best != labs(at)` guard; the isNotNull filters
     * mirror the inner join's drop of dst/id outside the label state. */
   private[graft] def stepPlanMap(sym: DataFrame,
-      labOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      labOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       weighted: Boolean, gate: org.apache.spark.sql.Column): DataFrame = {
     import graft.util.StateMap
     val vote = if (weighted) sum(col("weight").cast("double")) else count(lit(1)).cast("double")
@@ -130,7 +130,7 @@ object LabelPropagation {
     * row-based stepPlanMap and stepPlanPacked's multi-segment (hub)
     * branch. */
   private[graft] def decideFromVotes(votes: DataFrame,
-      labOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap])
+      labOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]])
       : DataFrame = {
     import graft.util.StateMap
     votes
@@ -149,7 +149,7 @@ object LabelPropagation {
     * into the shared decide tail; the branch is elided when the build saw
     * no hubs. Decision-identical to stepPlanMap (PackedSpec). */
   private[graft] def stepPlanPacked(packed: graft.graph.PackedAdj,
-      labOf: graft.util.StateMap.Ref[graft.util.StateMap.LongLongMap],
+      labOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       gate: org.apache.spark.sql.Column): DataFrame = {
     val wcol = if (packed.weighted) Some(col("wts")) else None
     val dec1 = packed.df.filter(col("nsegs") === 1)
@@ -186,9 +186,12 @@ object LabelPropagation {
       ids(i) = init0(i).getLong(0); labs(i) = init0(i).getLong(1)
       idx(ids(i)) = i; i += 1
     }
-    // Plan built once, Refs mutated per round (see StateMap.Ref).
+    // Plan built once; Refs carry per-round broadcast handles (see
+    // StateMap.Ref and Hedonic.runDriverState).
     import graft.util.StateMap
-    val labR = new StateMap.Ref[StateMap.LongLongMap](null)
+    val sc = spark.sparkContext
+    val labR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      StateMap.LongLongMap]](null)
     val roundR = new StateMap.Ref[Integer](Integer.valueOf(0))
     val gate =
       if (parityGating) graft.util.Portable.parityGate(col("id"), StateMap.intRef(roundR))
@@ -197,9 +200,10 @@ object LabelPropagation {
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      labR.value = StateMap.longLong(ids, labs, n)
+      labR.value = sc.broadcast(StateMap.longLong(ids, labs, n))
       roundR.value = Integer.valueOf(iter)
       val rows = stepDf.collect()
+      labR.value.destroy()
       // Every collected row is a changer (best != current, filtered
       // in-plan) — identical counters and state to the old full collect.
       var wanted = 0L

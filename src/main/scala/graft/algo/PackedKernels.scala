@@ -257,11 +257,12 @@ object PackedKernels {
 
   private def mapState(ctx: CodegenContext, b: Ref[_], cls: String): String = {
     val ref = ctx.addReferenceObj("stateRef", b, refCls)
-    ctx.addMutableState(cls, "stateMap", v => s"$v = ($cls) $ref.value();")
+    ctx.addMutableState(cls, "stateMap",
+      v => s"$v = ($cls) ((org.apache.spark.broadcast.Broadcast) $ref.value()).value();")
   }
 
   private case class HedonicDecideE(idE: Expression, nbrsE: Expression,
-      commB: Ref[LongLongMap], sizeB: Ref[LongLongMap], alpha: Double)
+      commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double)
       extends Expression {
     override def children: Seq[Expression] = Seq(idE, nbrsE)
     override def dataType: DataType = LongType
@@ -272,7 +273,7 @@ object PackedKernels {
       if (id == null || nb == null) null
       else {
         val v = kHedonic(id.asInstanceOf[Long], nb.asInstanceOf[ArrayData],
-          commB.value, sizeB.value, alpha)
+          commB.value.value, sizeB.value.value, alpha)
         if (v == NULLV) null else v
       }
     }
@@ -300,7 +301,7 @@ object PackedKernels {
   }
 
   private case class LabelDecideE(idE: Expression, nbrsE: Expression,
-      wtsE: Option[Expression], labB: Ref[LongLongMap])
+      wtsE: Option[Expression], labB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]])
       extends Expression {
     override def children: Seq[Expression] = Seq(idE, nbrsE) ++ wtsE
     override def dataType: DataType = LongType
@@ -311,7 +312,7 @@ object PackedKernels {
       if (id == null || nb == null) null
       else {
         val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
-        val v = kLabel(id.asInstanceOf[Long], nb.asInstanceOf[ArrayData], w, labB.value)
+        val v = kLabel(id.asInstanceOf[Long], nb.asInstanceOf[ArrayData], w, labB.value.value)
         if (v == NULLV) null else v
       }
     }
@@ -345,7 +346,7 @@ object PackedKernels {
   }
 
   private case class PrContribE(nbrsE: Expression, wtsE: Option[Expression],
-      rankB: Ref[LongDoubleMap], degB: Ref[LongDoubleMap])
+      rankB: Ref[org.apache.spark.broadcast.Broadcast[LongDoubleMap]], degB: Ref[org.apache.spark.broadcast.Broadcast[LongDoubleMap]])
       extends Expression {
     override def children: Seq[Expression] = Seq(nbrsE) ++ wtsE
     override def dataType: DataType = DoubleType
@@ -355,7 +356,7 @@ object PackedKernels {
       if (nb == null) null
       else {
         val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
-        val v = kContrib(nb.asInstanceOf[ArrayData], w, rankB.value, degB.value)
+        val v = kContrib(nb.asInstanceOf[ArrayData], w, rankB.value.value, degB.value.value)
         if (java.lang.Double.isNaN(v)) null else v
       }
     }
@@ -390,7 +391,7 @@ object PackedKernels {
   /** Hub-branch partials are cold (multi-segment vertices only), so these
     * two stay interpreted (CodegenFallback) — the loop work is in the
     * static kernels either way. */
-  private case class CommCountsE(nbrsE: Expression, commB: Ref[LongLongMap])
+  private case class CommCountsE(nbrsE: Expression, commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]])
       extends Expression with CodegenFallback {
     override def children: Seq[Expression] = Seq(nbrsE)
     override def dataType: DataType = ArrayType(StructType(Seq(
@@ -400,7 +401,7 @@ object PackedKernels {
     override def eval(input: InternalRow): Any = {
       val nb = nbrsE.eval(input)
       if (nb == null) null
-      else kCommCounts(nb.asInstanceOf[ArrayData], commB.value)
+      else kCommCounts(nb.asInstanceOf[ArrayData], commB.value.value)
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
@@ -408,7 +409,7 @@ object PackedKernels {
   }
 
   private case class LabelVotesE(nbrsE: Expression, wtsE: Option[Expression],
-      labB: Ref[LongLongMap])
+      labB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]])
       extends Expression with CodegenFallback {
     override def children: Seq[Expression] = Seq(nbrsE) ++ wtsE
     override def dataType: DataType = ArrayType(StructType(Seq(
@@ -420,7 +421,7 @@ object PackedKernels {
       if (nb == null) null
       else {
         val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
-        kLabelVotes(nb.asInstanceOf[ArrayData], w, labB.value)
+        kLabelVotes(nb.asInstanceOf[ArrayData], w, labB.value.value)
       }
     }
     override protected def withNewChildrenInternal(
@@ -431,22 +432,22 @@ object PackedKernels {
 
   // ---- Column builders ----------------------------------------------------
 
-  def hedonicDecide(id: Column, nbrs: Column, commB: Ref[LongLongMap],
-      sizeB: Ref[LongLongMap], alpha: Double): Column =
+  def hedonicDecide(id: Column, nbrs: Column, commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]],
+      sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double): Column =
     EU.column(HedonicDecideE(EU.expression(id), EU.expression(nbrs), commB, sizeB, alpha))
 
   def labelDecide(id: Column, nbrs: Column, wts: Option[Column],
-      labB: Ref[LongLongMap]): Column =
+      labB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]]): Column =
     EU.column(LabelDecideE(EU.expression(id), EU.expression(nbrs),
       wts.map(EU.expression), labB))
 
-  def prContrib(nbrs: Column, wts: Option[Column], rankB: Ref[LongDoubleMap],
-      degB: Ref[LongDoubleMap]): Column =
+  def prContrib(nbrs: Column, wts: Option[Column], rankB: Ref[org.apache.spark.broadcast.Broadcast[LongDoubleMap]],
+      degB: Ref[org.apache.spark.broadcast.Broadcast[LongDoubleMap]]): Column =
     EU.column(PrContribE(EU.expression(nbrs), wts.map(EU.expression), rankB, degB))
 
-  def commCounts(nbrs: Column, commB: Ref[LongLongMap]): Column =
+  def commCounts(nbrs: Column, commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]]): Column =
     EU.column(CommCountsE(EU.expression(nbrs), commB))
 
-  def labelVotes(nbrs: Column, wts: Option[Column], labB: Ref[LongLongMap]): Column =
+  def labelVotes(nbrs: Column, wts: Option[Column], labB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]]): Column =
     EU.column(LabelVotesE(EU.expression(nbrs), wts.map(EU.expression), labB))
 }

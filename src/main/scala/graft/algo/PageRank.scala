@@ -181,10 +181,14 @@ object PageRank {
       ids(i) = vd(i).getLong(0); degs(i) = vd(i).getDouble(1)
       idx(ids(i)) = i; i += 1
     }
-    // Plan built once, rank Ref mutated per round (see StateMap.Ref).
+    // Plan built once; the rank Ref carries a per-round broadcast handle,
+    // the degree broadcast is set once — degrees never change (see
+    // StateMap.Ref and Hedonic.runDriverState).
     import graft.util.StateMap
-    val degR = new StateMap.Ref(StateMap.longDouble(ids, degs, n))
-    val rankR = new StateMap.Ref[StateMap.LongDoubleMap](null)
+    val sc = spark.sparkContext
+    val degR = new StateMap.Ref(sc.broadcast(StateMap.longDouble(ids, degs, n)))
+    val rankR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      StateMap.LongDoubleMap]](null)
     val iterDf = iterPlanPacked(packed, rankR, degR, v, cfg)
     var ranks = Array.fill(n)(1.0 / v)
     val nIter = cfg.fixedIter.getOrElse(cfg.maxIter)
@@ -192,8 +196,9 @@ object PageRank {
     var done = false
     while (!done && iter < nIter) {
       val t0 = System.nanoTime()
-      rankR.value = StateMap.longDouble(ids, ranks, n)
+      rankR.value = sc.broadcast(StateMap.longDouble(ids, ranks, n))
       val rows = iterDf.collect()
+      rankR.value.destroy()
       val next = ranks.clone() // min-degree-1: every vertex receives a row
       var delta = 0.0
       var k = 0
@@ -209,6 +214,7 @@ object PageRank {
       iterMs += (System.nanoTime() - t0) / 1000000
       iter += 1
     }
+    degR.value.destroy()
     ((0 until n).map(k => (ids(k), ranks(k))).toDF("id", "rank"), iterMs.toSeq)
   }
 
@@ -246,8 +252,8 @@ object PageRank {
     * drop of src outside the rank state (never hit for edge-derived
     * vertex sets, where deg covers every src). */
   private[graft] def iterPlanMap(sym: DataFrame,
-      rankOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
-      degOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
+      rankOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap]],
+      degOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap]],
       v: Double, cfg: Config): DataFrame = {
     import graft.util.StateMap
     val rank = StateMap.lookup(rankOf, col("src"))
@@ -275,8 +281,8 @@ object PageRank {
     * accumulation order is the sorted neighbor array (deterministic across
     * runs). */
   private[graft] def iterPlanPacked(packed: graft.graph.PackedAdj,
-      rankOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
-      degOf: graft.util.StateMap.Ref[graft.util.StateMap.LongDoubleMap],
+      rankOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap]],
+      degOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongDoubleMap]],
       v: Double, cfg: Config): DataFrame = {
     val newRank =
       lit((1.0 - cfg.damping) / v) +

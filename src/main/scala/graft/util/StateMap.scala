@@ -42,11 +42,16 @@ object StateMap {
     * between: Dataset memoizes its QueryExecution, so analysis,
     * optimization, physical planning, and codegen lookup all happen once
     * per RUN instead of once per superstep (measured ~0.2-0.4 s of flat
-    * serial driver time per round). The current contents ship to
-    * executors inside each stage's closure/taskBinary — which Spark
-    * torrent-broadcasts exactly like an explicit sc.broadcast — captured
-    * at job-submission time, so a sequential loop sees each round's
-    * state exactly; no broadcast variables are created or destroyed.
+    * serial driver time per round). The Ref's value is captured by each
+    * job's closure serialization, so a sequential loop sees each round's
+    * contents exactly.
+    *
+    * The payload for V-row maps must be a per-round BROADCAST HANDLE, not
+    * the map itself: a handle serializes to an id and the map ships
+    * executor-cached, while a bare map rides the taskBinary and EVERY
+    * TASK re-deserializes the full 16+ MB — measured to double the
+    * 66.7M-edge superstep wall at 32 cores. Scalars (the round number)
+    * ride the Ref directly.
     * @volatile orders the driver-side write before the job submission's
     * serialization read. */
   final class Ref[T](@volatile var value: T) extends Serializable
@@ -166,7 +171,7 @@ object StateMap {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val bRef = ctx.addReferenceObj("stateMapRef", mapRef, refCls)
       val m = ctx.addMutableState(mapClass, "stateMap",
-        v => s"$v = ($mapClass) $bRef.value();")
+        v => s"$v = ($mapClass) ((org.apache.spark.broadcast.Broadcast) $bRef.value()).value();")
       val kGen = child.genCode(ctx)
       val slot = ctx.freshName("slot")
       val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
@@ -182,25 +187,27 @@ object StateMap {
     }
   }
 
-  private case class LongMapLookup(child: Expression, ref: Ref[LongLongMap])
+  private case class LongMapLookup(child: Expression,
+      ref: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]])
       extends MapLookup {
     override def dataType: DataType = LongType
     override protected def mapClass: String = classOf[LongLongMap].getName
     override protected def mapRef: AnyRef = ref
-    override protected def slotOf(k: Long): Int = ref.value.slot(k)
-    override protected def valAt(i: Int): Any = ref.value.valueAt(i)
+    override protected def slotOf(k: Long): Int = ref.value.value.slot(k)
+    override protected def valAt(i: Int): Any = ref.value.value.valueAt(i)
     override protected def javaZero: String = "-1L"
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
-  private case class DoubleMapLookup(child: Expression, ref: Ref[LongDoubleMap])
+  private case class DoubleMapLookup(child: Expression,
+      ref: Ref[org.apache.spark.broadcast.Broadcast[LongDoubleMap]])
       extends MapLookup {
     override def dataType: DataType = DoubleType
     override protected def mapClass: String = classOf[LongDoubleMap].getName
     override protected def mapRef: AnyRef = ref
-    override protected def slotOf(k: Long): Int = ref.value.slot(k)
-    override protected def valAt(i: Int): Any = ref.value.valueAt(i)
+    override protected def slotOf(k: Long): Int = ref.value.value.slot(k)
+    override protected def valAt(i: Int): Any = ref.value.value.valueAt(i)
     override protected def javaZero: String = "-1.0"
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -230,11 +237,12 @@ object StateMap {
     }
   }
 
-  def lookup(ref: Ref[LongLongMap], key: Column): Column =
+  def lookup(ref: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]],
+      key: Column): Column =
     ExpressionUtils.column(LongMapLookup(ExpressionUtils.expression(key), ref))
 
-  def lookup(ref: Ref[LongDoubleMap], key: Column)(
-      implicit d: DummyImplicit): Column =
+  def lookup(ref: Ref[org.apache.spark.broadcast.Broadcast[LongDoubleMap]],
+      key: Column)(implicit d: DummyImplicit): Column =
     ExpressionUtils.column(DoubleMapLookup(ExpressionUtils.expression(key), ref))
 
   def intRef(value: Int): Column = intRef(new Ref(Integer.valueOf(value)))

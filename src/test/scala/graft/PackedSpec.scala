@@ -35,8 +35,8 @@ class PackedSpec extends SparkSpec {
   test("hedonic: packed kernel and hub branch match the row-based plan") {
     val e = edgesOf(Fixtures.zachary)
     val symDf = GraphOps.symmetrize(e).select("src", "dst")
-    val commB = new StateMap.Ref(llMap(stateSeq))
-    val sizeB = new StateMap.Ref(llMap(sizesOf(stateSeq)))
+    val commB = new StateMap.Ref(sc.broadcast(llMap(stateSeq)))
+    val sizeB = new StateMap.Ref(sc.broadcast(llMap(sizesOf(stateSeq))))
     val alpha = 0.12
     val gate = graft.util.Portable.parityGate(col("id"), 3)
     val expect = rows3(Hedonic.stepPlanMap(symDf, commB, sizeB, alpha, gate))
@@ -56,7 +56,7 @@ class PackedSpec extends SparkSpec {
     val wedges = Fixtures.zachary.map { case (u, v) =>
       graft.model.Edge(u, v, ((u + 2 * v) % 3 + 1).toDouble)
     }.toDS()
-    val labB = new StateMap.Ref(llMap(stateSeq))
+    val labB = new StateMap.Ref(sc.broadcast(llMap(stateSeq)))
     val gate = graft.util.Portable.parityGate(col("id"), 1)
     for (weighted <- Seq(false, true)) {
       val cols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
@@ -88,8 +88,8 @@ class PackedSpec extends SparkSpec {
         symDf.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg")))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val rankSeq = degSeq.map { case (id, _) => (id, (id + 1).toDouble / 700.0) }
-      val degB = new StateMap.Ref(ldMap(degSeq))
-      val rankB = new StateMap.Ref(ldMap(rankSeq))
+      val degB = new StateMap.Ref(sc.broadcast(ldMap(degSeq)))
+      val rankB = new StateMap.Ref(sc.broadcast(ldMap(rankSeq)))
       val expect = PageRank.iterPlanMap(symDf, rankB, degB, v, cfg)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       for (cap <- Seq(1 << 20, 2)) {
@@ -124,10 +124,10 @@ class PackedSpec extends SparkSpec {
       val e = edgesOf(Fixtures.zachary)
       val symDf = GraphOps.symmetrize(e).select("src", "dst")
       val p = PackedAdjacency.build(symDf, "src")
-      val commB = new StateMap.Ref(llMap(stateSeq))
-      val sizeB = new StateMap.Ref(llMap(sizesOf(stateSeq)))
-      val degB = new StateMap.Ref(ldMap((0L to 33L).map(i => (i, 2.0))))
-      val rankB = new StateMap.Ref(ldMap((0L to 33L).map(i => (i, 1.0 / 34))))
+      val commB = new StateMap.Ref(sc.broadcast(llMap(stateSeq)))
+      val sizeB = new StateMap.Ref(sc.broadcast(llMap(sizesOf(stateSeq))))
+      val degB = new StateMap.Ref(sc.broadcast(ldMap((0L to 33L).map(i => (i, 2.0)))))
+      val rankB = new StateMap.Ref(sc.broadcast(ldMap((0L to 33L).map(i => (i, 1.0 / 34)))))
       val h = Hedonic.stepPlanPacked(p, commB, sizeB, 0.1, lit(true))
       assert(spine(h) == 0, h.queryExecution.executedPlan.toString)
       val l = LabelPropagation.stepPlanPacked(p, commB, lit(true))

@@ -85,14 +85,14 @@ class StrategySpec extends SparkSpec {
     import graft.util.StateMap
     val sc = spark.sparkContext
     val ids = (0L to 7L).toArray
-    val commB = new StateMap.Ref(StateMap.longLong(ids, ids, ids.length))
-    val sizeB = new StateMap.Ref(StateMap.longLong(ids, Array.fill(8)(1L), ids.length))
+    val commB = new StateMap.Ref(sc.broadcast(StateMap.longLong(ids, ids, ids.length)))
+    val sizeB = new StateMap.Ref(sc.broadcast(StateMap.longLong(ids, Array.fill(8)(1L), ids.length)))
     val hplan = Hedonic.stepPlanMap(symSrc, commB, sizeB, 0.25, lit(true))
     assert(spineShuffles(hplan) == 0, hplan.queryExecution.executedPlan.toString)
     // PageRank driver-state iteration (broadcast rank/degree maps).
     val symDst = GraphOps.pinnedSym(e, "dst")
-    val rankB = new StateMap.Ref(StateMap.longDouble(ids, Array.fill(8)(0.125), ids.length))
-    val degB = new StateMap.Ref(StateMap.longDouble(ids, Array.fill(8)(2.0), ids.length))
+    val rankB = new StateMap.Ref(sc.broadcast(StateMap.longDouble(ids, Array.fill(8)(0.125), ids.length)))
+    val degB = new StateMap.Ref(sc.broadcast(StateMap.longDouble(ids, Array.fill(8)(2.0), ids.length)))
     val pplan = PageRank.iterPlanMap(symDst, rankB, degB, 8.0, PageRank.Config())
     assert(spineShuffles(pplan) == 0, pplan.queryExecution.executedPlan.toString)
     // LPA driver-state step (broadcast label map).
