@@ -42,23 +42,33 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
-      @volatile var err: Option[String] = None
+      // Separate slots: a watchdog timeout must not be overwritten by the
+      // cancellation exception the runner observes AFTER the cancel (ADVICE
+      // r3 — the race misreported timeouts as generic failures).
+      @volatile var timedOut: Option[String] = None
+      @volatile var runnerErr: Option[String] = None
       val runner = new Thread(() => {
         try {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case e: Throwable => err = Some(e.toString.take(300)) }
+        } catch { case e: Throwable => runnerErr = Some(e.toString.take(300)) }
         finally spark.sparkContext.clearJobGroup()
       }, s"bench-$name")
       runner.setDaemon(true)
       runner.start()
       runner.join(timeoutSec * 1000)
       if (runner.isAlive) {
-        err = Some(s"timeout ${timeoutSec}s")
+        timedOut = Some(s"timeout ${timeoutSec}s")
         spark.sparkContext.cancelJobGroup(name)
         runner.join(30000)
         if (runner.isAlive) { runner.interrupt(); runner.join(30000) }
+        if (runner.isAlive)
+          // Survived interrupt: it keeps burning the shared local[cpus]
+          // cores, so every later timing in this run is contended.
+          System.err.println(s"[bench] WARNING $name still running after " +
+            "cancel+interrupt — subsequent timings are contended")
       }
+      val err: Option[String] = timedOut.orElse(runnerErr)
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop whatever the query pinned/persisted so the next one starts clean.
       try spark.sparkContext.getPersistentRDDs.values

@@ -159,6 +159,47 @@ object Oracles {
     JOIN edges e2 ON e2.src = e1.dst
     JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
 
+  /** Triangle count on the THIN graph (q_triangles_sparse — the
+    * algorithmic-throughput tracker next to the complete-graph stress
+    * case). */
+  val trianglesSparse: String = s"""WITH $thinCtes
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+  /** One WEIGHTED hedonic move step on the thin graph (q_wmove1 — mirrors
+    * Hedonic.step with weighted=true and gate=true): friendship mass = the
+    * weight sum into the candidate community, strangers stay count-based,
+    * payoff = wfriends*(1-a) - strangers*a. Weights are integral shared-path
+    * counts, so the double sums are exact and comparisons bitwise match. */
+  val wmove1: String = s"""WITH $thinCtes, $alphaCte,
+    cand AS (
+      SELECT id, community, CAST(sum(f1) AS BIGINT) AS friends,
+             sum(fw) AS wfriends FROM (
+        SELECT s.src AS id, m.community, 1 AS f1, s.weight AS fw
+        FROM symw s JOIN m0 m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0 AS f1, 0.0 AS fw FROM m0
+      ) GROUP BY id, community),
+    sizes AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM m0 GROUP BY community),
+    pay AS (
+      SELECT c.id, c.community,
+             (c.community = m.community) AS iscur,
+             c.wfriends * (1.0 - (SELECT a FROM alpha)) -
+               (s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END)) * (SELECT a FROM alpha) AS payoff
+      FROM cand c JOIN sizes s ON c.community = s.community JOIN m0 m ON c.id = m.id),
+    ranked AS (
+      SELECT id, community, payoff, iscur,
+             row_number() OVER (PARTITION BY id
+               ORDER BY payoff DESC, iscur DESC, community ASC) AS rn,
+             max(CASE WHEN iscur THEN payoff END) OVER (PARTITION BY id) AS curp,
+             max(CASE WHEN iscur THEN community END) OVER (PARTITION BY id) AS curc
+      FROM pay)
+    SELECT id,
+           CAST(CASE WHEN payoff > curp THEN community ELSE curc END AS BIGINT) AS community
+    FROM ranked WHERE rn = 1"""
+
   /** One synchronous LPA step from labels id%3: adopt the majority neighbor
     * label, ties to the smallest label — mirrors LabelPropagation.step. */
   val lpa1: String = s"""WITH $graphCtes,
@@ -627,7 +668,7 @@ object Oracles {
 
   /** `k` gated hedonic superstep levels `{p}ms1..{p}ms{k}` chaining from a
     * caller-provided `{p}ms0`, over caller-provided `sym` + `alpha` CTEs
-    * (mirrors Hedonic.stepPinned / stepPlanLocal — StrategySpec pins the two
+    * (mirrors Hedonic.stepPinned / stepPlanMap — StrategySpec pins the two
     * physical strategies to identical decisions, so one SQL mirror serves
     * both). Each Hedonic.run call restarts its superstep counter at 0, so
     * the parity-gate round is always `i - 1` within a level group. */
@@ -946,7 +987,11 @@ object Oracles {
       val terms = (0 until 16).map(t => s"s[${16 * b + t + 1}] * ${1L << (15 - t)}").mkString(" + ")
       s"SELECT vec_id, $b AS band, $terms AS bucket FROM sgn"
     }.mkString("\n      UNION ALL ")
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 3),
     sgn AS (
       SELECT vec_id,
              list_transform(range(64), p ->
@@ -962,6 +1007,26 @@ object Oracles {
       FROM cand JOIN emb x ON ida = x.vec_id JOIN emb y ON idb = y.vec_id)
     SELECT ida, idb, round(craw, 6) AS cos FROM ver WHERE craw >= 0.4"""
   }
+
+  /** Leiden refinement pass on the THIN graph under m0 (mirrors
+    * Leiden.refine): connected components over intra-community edges via
+    * recursive min-label closure; members with no intra-community edge
+    * keep their own id as a singleton label. */
+  val leidenRefine: String = s"""WITH RECURSIVE $thinCtes,
+    intra AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN m0 a ON e.src = a.id JOIN m0 b ON e.dst = b.id
+      WHERE a.community = b.community),
+    isym AS (SELECT src, dst FROM intra
+             UNION ALL SELECT dst AS src, src AS dst FROM intra),
+    r(n, l) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT s.dst, r.l FROM r JOIN isym s ON r.n = s.src WHERE r.l < s.dst
+    ),
+    comp AS (SELECT n AS id, min(l) AS c FROM r GROUP BY n)
+    SELECT m.id, CAST(coalesce(c.c, m.id) AS BIGINT) AS community
+    FROM m0 m LEFT JOIN comp c ON m.id = c.id"""
 
   /** M11 one reciprocal-invitation round from singletons on the THIN graph
     * (mirrors Reciprocity.mutualPairs weighted): each node invites the

@@ -37,8 +37,15 @@ object ScalingBench {
     // too many. Override via SPARK_GRAFT_SHUFFLE_PARTS.
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
       math.max(64, cpus).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM local[$cpus] proxy with
+    // e.g. local-cluster[2,4,16384] — SEPARATE executor JVMs (own heaps, own
+    // shuffle-IO, torrent broadcast over loopback), the honest sandbox stand-in
+    // for "spark-submit on a multi-executor cluster at N and 4N executors"
+    // that the north rule mandates. local-cluster needs the compiled classes
+    // on the EXECUTOR classpath too (spark.executor.extraClassPath below).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .appName(s"graft-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", shufParts)
       // AQE re-plans every shuffle stage; on superstep-loop jobs with
@@ -51,7 +58,15 @@ object ScalingBench {
       // this builder line.
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      builder
+        .config("spark.executor.extraClassPath",
+          sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+            new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "16g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Probe-only stage telemetry: wall vs summed task time per stage shows
     // how much of a superstep is parallel work vs serial driver overhead.
@@ -163,7 +178,11 @@ object ScalingBench {
     val tPr10 = (System.nanoTime() - t2) / 1e9
     val tPrIter = prIterMs.sum / 1e3
     val tPrBuild = tPr10 - tPrIter
-    val prEdgesPerSec = 2.0 * edgeCount * 10 / tPr10
+    // Guard like prIterEdgesPerSec below: with SPARK_GRAFT_SKIP_PR the
+    // phase ran 0 iterations and tPr10 is epsilon — emitting 2E*10/eps
+    // would fake an absurd rate (ADVICE r3).
+    val prEdgesPerSec =
+      if (prIterMs.nonEmpty) 2.0 * edgeCount * 10 / tPr10 else 0.0
     val prIterEdgesPerSec =
       if (tPrIter > 0) 2.0 * edgeCount * prIterMs.size / tPrIter else 0.0
 

@@ -203,6 +203,16 @@ object SparkEntry {
         hedonicCfg = Hedonic.Config(maxSupersteps = 30), mergeRounds = 10)
     }),
 
+    // Leiden REFINEMENT phase standalone (M8's round-3 gap): split every
+    // internally-disconnected community of m0 on the thin graph into its
+    // connected parts (new label = component min id; intra-edge-free
+    // members become singletons). Oracled via recursive min-label closure
+    // restricted to intra-community edges.
+    "q_leiden_refine" -> ((s, dir) => {
+      val e = graphThin(s, dir)
+      graft.algo.Leiden.refine(e, m0(e))
+    }),
+
     // Cap 40 matches Oracles.hedonicFrontier(40) level-for-level (the run
     // empties its frontier well before that at driver SFs).
     "q_hedonic_frontier" -> ((s, dir) => {
@@ -323,8 +333,17 @@ object SparkEntry {
     }),
 
     // production near-dup path: 16-bit-band hyperplane LSH over the FULL
-    // corpus (recall pinned by property tests; not SQL-expressible).
-    "q_lsh_embed_pairs" -> ((s, dir) => Similarity.lshPairs(embs(s, dir), 0.4)),
+    // corpus PLUS three planted exact duplicates (vec_id + 1e6, same
+    // vector — identical signatures collide in every band), so the oracle
+    // row carries information at every sf (round-3 finding: the organic
+    // corpus has no >=0.4 pair at sf0.01 and the green row was 0 == 0).
+    // Recall on NEAR-duplicates stays pinned by the property tests.
+    "q_lsh_embed_pairs" -> ((s, dir) => {
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.lshPairs(e.unionByName(planted), 0.4)
+    }),
 
     // IVF coarse-quantizer ANN (the second scale path besides LSH):
     // deterministic sampled centroids, 2-probe exact re-rank — oracled.
@@ -402,6 +421,27 @@ object SparkEntry {
       PageRank.run(graph(s, dir), PageRank.Config(fixedIter = Some(3), weighted = true))
         .select(col("id"), round(col("rank"), 6).as("rank"))),
 
+    // one WEIGHTED hedonic superstep on the thin graph (Config.weighted:
+    // friendship mass = weight sum, strangers count-based) — pins the
+    // weighted payoff/argmax math; the full weighted run is strategy-pinned
+    // by StrategySpec.
+    "q_wmove1" -> ((s, dir) => {
+      val e = graphThin(s, dir)
+      val alpha = GraphOps.density(e)
+      val (next, _, _) = Hedonic.step(
+        GraphOps.symmetrize(e).select("src", "dst", "weight"), m0(e), alpha,
+        lit(true), weighted = true)
+      next
+    }),
+
+    // triangle count on the THIN graph — tracks the degree-oriented
+    // algorithm's throughput (q_triangles' near-complete part graph is the
+    // degenerate ~1.7e8-triangle stress case, flat across rounds by design).
+    "q_triangles_sparse" -> ((s, dir) => {
+      val n = TriangleCount.count(graphThin(s, dir))
+      s.range(1).select(lit(n).as("triangles"))
+    }),
+
     // ------------------------------------------- events
     "q_events_window" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
@@ -472,11 +512,14 @@ object SparkEntry {
     "q_wdegrees" -> Oracles.wdegrees,
     "q_wlpa1" -> Oracles.wlpa1,
     "q_wpagerank3" -> Oracles.wpagerank(3),
+    "q_wmove1" -> Oracles.wmove1,
+    "q_triangles_sparse" -> Oracles.trianglesSparse,
     // round-3 additions: portable md5 hash family makes the randomized
     // scale paths and full gated iterative runs DuckDB-replicable
     "q_hedonic_full" -> Oracles.hedonicFull(32),
     "q_hedonic_frontier" -> Oracles.hedonicFrontier(40),
     "q_leiden_full" -> Oracles.leidenFull(30, 10),
+    "q_leiden_refine" -> Oracles.leidenRefine,
     "q_sbm_recover" -> Oracles.sbmRecover(40),
     "q_lpa_full" -> Oracles.lpaFull(20),
     "q_minhash_pairs" -> Oracles.minhashPairs,

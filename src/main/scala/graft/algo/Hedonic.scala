@@ -71,13 +71,21 @@ object Hedonic {
       checkpointEvery: Int = 8,
       checkpointDir: Option[String] = None,
       trackPotential: Boolean = false,
-      // Max state rows for the broadcast-state superstep (see stepPlanLocal):
+      // Max state rows for the broadcast-state superstep (see stepPlanMap):
       // below this, the V-row membership is broadcast into a gather over
       // edges cached pre-partitioned on the GROUPING key, and a superstep
       // moves zero edge-scale rows through the shuffle. 0 forces the
       // co-partitioned shuffle path (the 1e9-vertex strategy; tests pin
       // both paths to identical results).
-      broadcastStateMaxRows: Long = 4000000L)
+      broadcastStateMaxRows: Long = 4000000L,
+      // Weight-aware payoff: friendship mass = sum of edge weights into the
+      // candidate community (the engine's mandated co-occurrence graph is
+      // weighted — weight = shared paths), strangers stay COUNT-based
+      // (csize - neighbor count - self), so payoff =
+      // wfriends*(1-a) - strangers*a. With unit weights this is bitwise the
+      // unweighted formula. Reference graphs are unweighted; parity
+      // queries use the default.
+      weighted: Boolean = false)
 
   /** friends per (id, candidate community): one equi-join of the symmetrized
     * edges with membership on the neighbor endpoint, then a hash aggregate
@@ -103,19 +111,41 @@ object Hedonic {
     if (weighted) out else out.withColumn("friends", col("friends").cast("long"))
   }
 
+  /** Weighted gather carrying BOTH the neighbor count (long — strangers
+    * stay count-based) and the weight sum per candidate community. `sym`
+    * must carry a `weight` column. */
+  private[graft] def gatherBoth(sym: DataFrame, members: DataFrame): DataFrame = {
+    val nbrComm = members.select(col("id").as("dst"), col("community"))
+    sym
+      .join(nbrComm, Seq("dst"))
+      .select(col("src").as("id"), col("community"),
+        lit(1L).as("f1"), col("weight").cast("double").as("fw"))
+      .unionByName(members.select(col("id"), col("community"),
+        lit(0L).as("f1"), lit(0.0).as("fw")))
+      .groupBy("id", "community")
+      .agg(sum("f1").as("friends"), sum("fw").as("wfriends"))
+  }
+
   /** Full candidate table with strangers + payoff columns.
-    * Community sizes are broadcast (C << V). */
-  def payoffs(sym: DataFrame, members: DataFrame, alpha: Double): DataFrame = {
+    * Community sizes are broadcast (C << V).
+    *
+    * `weighted`: payoff = wfriends*(1-a) - strangers*a (see Config.weighted);
+    * strangers stay count-based either way. The unweighted payoff promotes
+    * the long count to double exactly as wfriends would, so the weighted
+    * formula with unit weights is bitwise the unweighted one. */
+  def payoffs(sym: DataFrame, members: DataFrame, alpha: Double,
+              weighted: Boolean = false): DataFrame = {
     val sizes = members.groupBy("community").agg(count(lit(1)).as("csize"))
     val cur = members.select(col("id"), col("community").as("curComm"))
-    gather(sym, members)
-      .join(broadcast(sizes), Seq("community"))
+    val g = if (weighted) gatherBoth(sym, members) else gather(sym, members)
+    g.join(broadcast(sizes), Seq("community"))
       .join(cur, Seq("id"))
       .withColumn("isCur", col("community") === col("curComm"))
       .withColumn("strangers",
         col("csize") - col("friends") - when(col("isCur"), 1L).otherwise(0L))
       .withColumn("payoff",
-        col("friends") * (1.0 - alpha) - col("strangers") * alpha)
+        (if (weighted) col("wfriends") * (1.0 - alpha)
+         else col("friends") * (1.0 - alpha)) - col("strangers") * alpha)
   }
 
   /** One synchronous superstep. Returns (newMembers, wantedToMove, moved).
@@ -124,8 +154,9 @@ object Hedonic {
       sym: DataFrame,
       members: DataFrame,
       alpha: Double,
-      gate: org.apache.spark.sql.Column): (DataFrame, Long, Long) = {
-    val (pinned, wanted, moved) = stepPinned(sym, members, alpha, gate)
+      gate: org.apache.spark.sql.Column,
+      weighted: Boolean = false): (DataFrame, Long, Long) = {
+    val (pinned, wanted, moved) = stepPinned(sym, members, alpha, gate, weighted)
     (pinned.df.select("id", "community"), wanted, moved)
   }
 
@@ -136,8 +167,9 @@ object Hedonic {
       sym: DataFrame,
       members: DataFrame,
       alpha: Double,
-      gate: org.apache.spark.sql.Column): (Iterate.Pinned, Long, Long) = {
-    val p = payoffs(sym, members, alpha)
+      gate: org.apache.spark.sql.Column,
+      weighted: Boolean = false): (Iterate.Pinned, Long, Long) = {
+    val p = payoffs(sym, members, alpha, weighted)
     // argmax with canonical tie-break: highest payoff, then current community,
     // then smallest label. struct max orders lexicographically.
     val best = p.groupBy("id").agg(
@@ -198,13 +230,24 @@ object Hedonic {
       commOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       alpha: Double,
-      gate: org.apache.spark.sql.Column): DataFrame = {
+      gate: org.apache.spark.sql.Column,
+      weighted: Boolean = false): DataFrame = {
     import graft.util.StateMap
-    val counts = sym
-      .select(col("src").as("id"), StateMap.lookup(commOf, col("dst")).as("community"))
-      .filter(col("community").isNotNull)
-      .groupBy("id", "community").agg(sum(lit(1L)).as("friends"))
-    decideFromCounts(counts, commOf, sizeOf, alpha)
+    val counts =
+      if (weighted)
+        sym
+          .select(col("src").as("id"),
+            StateMap.lookup(commOf, col("dst")).as("community"),
+            col("weight").cast("double").as("w"))
+          .filter(col("community").isNotNull)
+          .groupBy("id", "community")
+          .agg(sum(lit(1L)).as("friends"), sum(col("w")).as("wfriends"))
+      else
+        sym
+          .select(col("src").as("id"), StateMap.lookup(commOf, col("dst")).as("community"))
+          .filter(col("community").isNotNull)
+          .groupBy("id", "community").agg(sum(lit(1L)).as("friends"))
+    decideFromCounts(counts, commOf, sizeOf, alpha, weighted)
       .select(col("id"), col("bestComm"), gate.as("doMove"))
   }
 
@@ -216,7 +259,8 @@ object Hedonic {
       counts: DataFrame,
       commOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
-      alpha: Double): DataFrame = {
+      alpha: Double,
+      weighted: Boolean = false): DataFrame = {
     import graft.util.StateMap
     val cand = counts
       .withColumn("csize", StateMap.lookup(sizeOf, col("community")))
@@ -226,7 +270,8 @@ object Hedonic {
       .withColumn("strangers",
         col("csize") - col("friends") - when(col("isCur"), 1L).otherwise(0L))
       .withColumn("payoff",
-        col("friends") * (1.0 - alpha) - col("strangers") * alpha)
+        (if (weighted) col("wfriends") * (1.0 - alpha)
+         else col("friends") * (1.0 - alpha)) - col("strangers") * alpha)
     val best = cand.groupBy("id").agg(
       max(struct(
         col("payoff"),
@@ -261,18 +306,29 @@ object Hedonic {
       sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       alpha: Double,
       gate: org.apache.spark.sql.Column): DataFrame = {
+    val wtsOpt = if (packed.weighted) Some(col("wts")) else None
     val dec1 = packed.df.filter(col("nsegs") === 1)
       .select(col("id"),
-        PackedKernels.hedonicDecide(col("id"), col("nbrs"), commOf, sizeOf, alpha)
+        PackedKernels.hedonicDecide(col("id"), col("nbrs"), wtsOpt, commOf, sizeOf, alpha)
           .as("bestComm"))
       .filter(col("bestComm").isNotNull)
     val dec =
       if (packed.maxSegs > 1) {
-        val counts = packed.df.filter(col("nsegs") > 1)
-          .select(col("id"), explode(PackedKernels.commCounts(col("nbrs"), commOf)).as("cf"))
-          .select(col("id"), col("cf.community").as("community"), col("cf.friends").as("friends"))
-          .groupBy("id", "community").agg(sum("friends").as("friends"))
-        dec1.unionByName(decideFromCounts(counts, commOf, sizeOf, alpha))
+        val counts =
+          if (packed.weighted)
+            packed.df.filter(col("nsegs") > 1)
+              .select(col("id"), explode(
+                PackedKernels.commCountsW(col("nbrs"), col("wts"), commOf)).as("cf"))
+              .select(col("id"), col("cf.community").as("community"),
+                col("cf.friends").as("friends"), col("cf.wfriends").as("wfriends"))
+              .groupBy("id", "community")
+              .agg(sum("friends").as("friends"), sum("wfriends").as("wfriends"))
+          else
+            packed.df.filter(col("nsegs") > 1)
+              .select(col("id"), explode(PackedKernels.commCounts(col("nbrs"), commOf)).as("cf"))
+              .select(col("id"), col("cf.community").as("community"), col("cf.friends").as("friends"))
+              .groupBy("id", "community").agg(sum("friends").as("friends"))
+        dec1.unionByName(decideFromCounts(counts, commOf, sizeOf, alpha, packed.weighted))
       } else dec1
     dec.select(col("id"), col("bestComm"), gate.as("doMove"))
   }
@@ -381,8 +437,10 @@ object Hedonic {
       // Broadcast-state strategy iterates over the CSR-packed adjacency
       // (one build-time shuffle, then V-row supersteps — see
       // PackedAdjacency / stepPlanPacked).
+      val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
       val packed = graft.graph.PackedAdjacency.build(
-        GraphOps.symmetrize(edges).select("src", "dst"), "src")
+        GraphOps.symmetrize(edges).select(symCols.map(col): _*), "src",
+        weighted = cfg.weighted)
       val edgeCount = packed.df
         .agg(sum(size(col("nbrs")))).collect()(0).getLong(0)
       return runDriverState(edges, packed, startMembers, startStep, a, edgeCount, cfg, ckpt)
@@ -390,7 +448,7 @@ object Hedonic {
 
     // Shuffle path: cached pre-partitioned on dst (the gather JOIN key);
     // only the V-row members side re-exchanges per round.
-    val sym = GraphOps.pinnedSym(edges, "dst", sorted = true)
+    val sym = GraphOps.pinnedSym(edges, "dst", weighted = cfg.weighted, sorted = true)
     val edgeCount = sym.count()
 
     var members = startMembers
@@ -407,7 +465,7 @@ object Hedonic {
       // granularity, Checkpoint's `every`); the per-superstep lineage/stats
       // pin always happens inside stepPinned regardless.
       val cut = ckpt.isDefined && superstep % cfg.checkpointEvery == 0
-      val (pinned, wanted, moved) = stepPinned(sym, members, a, gate)
+      val (pinned, wanted, moved) = stepPinned(sym, members, a, gate, cfg.weighted)
       val next = pinned.df.select("id", "community")
       val pot = if (cfg.trackPotential) potential(edges, next, a) else Double.NaN
       val wallMs = (System.nanoTime() - t0) / 1000000
@@ -463,8 +521,26 @@ object Hedonic {
       ids(i) = init0(i).getLong(0); comms(i) = init0(i).getLong(1)
       idx(ids(i)) = i; i += 1
     }
-    def stateDF: DataFrame =
-      (0 until n).map(k => (ids(k), comms(k))).toDF("id", "community")
+    // NOT a LocalRelation (ADVICE r3): `(0..n).toDF` serialized V rows into
+    // the plan on every checkpoint/potential call — a large per-round driver
+    // allocation near the 4M-row budget, and joining edges against a V-row
+    // LocalRelation re-introduced the broadcast-build job StateMap exists to
+    // avoid. Parallelize indices instead: the arrays cross once per job in
+    // the torrent-broadcast taskBinary, rows materialize in executors, and
+    // the resulting LogicalRDD has no stats — so potential()'s edge join
+    // never tries to broadcast-build the state side.
+    def stateDF: DataFrame = {
+      val idsL = ids; val commsL = comms
+      val slices = math.max(1,
+        math.min(spark.sparkContext.defaultParallelism, n / 65536 + 1))
+      val rdd = spark.sparkContext.parallelize(0 until n, slices)
+        .map(k => org.apache.spark.sql.Row(idsL(k), commsL(k)))
+      spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("community",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    }
 
     val sc = spark.sparkContext
     val timing = sys.env.get("SPARK_GRAFT_STEP_TIMING").exists(_.toBoolean)

@@ -39,7 +39,7 @@ object LabelPropagation {
     * carry a `weight` column). `bcastState = true` broadcasts the V-row
     * label side into the gather — with `sym` cached pre-partitioned on src
     * (the grouping key) the whole step then runs exchange-free on the
-    * cached layout (see Hedonic.stepPlanLocal for the strategy rationale). */
+    * cached layout (see Hedonic.stepPlanMap for the strategy rationale). */
   def step(sym: DataFrame, labels: DataFrame, weighted: Boolean = false,
            bcastState: Boolean = false): DataFrame = {
     val labSide = labels.select(col("id").as("dst"), col("label").as("nbrLabel"))

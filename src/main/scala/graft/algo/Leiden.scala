@@ -81,6 +81,36 @@ object Leiden {
     }
   }
 
+  /** Leiden REFINEMENT phase (the property genuine Leiden exists to
+    * guarantee — Traag et al. 2019, "From Louvain to Leiden", and igraph's
+    * community_leiden, the reference's "Leiden" baseline
+    * scripts/config.py:42-55): every community must be INTERNALLY CONNECTED
+    * before aggregation contracts it to one meta-node, else a disconnected
+    * community is frozen forever. Split = connected components restricted
+    * to intra-community edges; new label = the component's min vertex id
+    * (distinct across communities for free since components partition the
+    * vertex set). Members with no intra-community edge become singletons
+    * labeled by their own id.
+    *
+    * Splitting a disconnected community strictly INCREASES the potential
+    * pot(C) = e_in - alpha*C(n,2): the parts share no edges, so e_in is
+    * preserved while C(n,2) shrinks. Refinement therefore never hurts and
+    * is a fixpoint on partitions whose communities are already connected
+    * (LeidenRefineSpec pins both properties). Plan shape: two V-scale
+    * equi-joins + the large/small-star CC loop — no all-pairs, no windows. */
+  def refine(edges: Dataset[Edge], members: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val m1 = members.select(col("id").as("src"), col("community").as("c1"))
+    val m2 = members.select(col("id").as("dst"), col("community").as("c2"))
+    val intra = edges.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
+      .filter(col("c1") === col("c2"))
+      .select("src", "dst", "weight").as[Edge]
+    val comps = ConnectedComponents.run(intra) // (id, comp = min reachable id)
+    members.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("community"))
+  }
+
   /** Merge phase to fixpoint. */
   def mergePhase(edges: Dataset[Edge], members: DataFrame, alpha: Double,
                  maxRounds: Int = 50): DataFrame = {
@@ -99,16 +129,23 @@ object Leiden {
     * reference's production "Hedonic" method is the local-moving phase only
     * (config.py:56-69, only_first_phase=True); `levels > 1` adds the full
     * Leiden aggregation the "Leiden" baseline uses (config.py:42-55). */
+  /** `refine = true` inserts the connectivity refinement phase between
+    * local moving and aggregation — genuine Leiden. Default false ONLY
+    * because q_leiden_full's DuckDB replay pins the merge trajectory
+    * level-for-level and CC-inside-the-pyramid is not fixed-cap-replayable;
+    * the refinement operator itself is oracled standalone (q_leiden_refine)
+    * and the connectivity property is pinned by LeidenRefineSpec. */
   def run(edges: Dataset[Edge], init: DataFrame,
           alpha: Option[Double] = None, levels: Int = 3,
           hedonicCfg: Hedonic.Config = Hedonic.Config(),
-          mergeRounds: Int = 50): DataFrame = {
+          mergeRounds: Int = 50, refine: Boolean = false): DataFrame = {
     val a = alpha.getOrElse(GraphOps.density(edges))
     var members = init.select("id", "community")
     var level = 0
     var changed = true
     while (changed && level < levels) {
-      val (moved, _) = Hedonic.run(edges, members, hedonicCfg.copy(alpha = Some(a)))
+      val (moved0, _) = Hedonic.run(edges, members, hedonicCfg.copy(alpha = Some(a)))
+      val moved = if (refine) this.refine(edges, moved0) else moved0
       val before = Hedonic.potential(edges, moved, a)
       val mergedM = mergePhase(edges, moved, a, mergeRounds)
       val after = Hedonic.potential(edges, mergedM, a)

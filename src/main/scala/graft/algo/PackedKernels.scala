@@ -93,6 +93,15 @@ object PackedKernels {
       }
       dvals(i) += v
     }
+    /** Combined count + weight accumulate (weighted hedonic gather). */
+    def addBoth(k: Long, lv: Long, dv: Double): Unit = {
+      val i = slotFor(k)
+      if (stamps(i) != epoch) {
+        stamps(i) = epoch; keys(i) = k; lvals(i) = 0L; dvals(i) = 0.0
+        used(nUsed) = i; nUsed += 1
+      }
+      lvals(i) += lv; dvals(i) += dv
+    }
     def keyAt(j: Int): Long = keys(used(j))
     def longAt(j: Int): Long = lvals(used(j))
     def doubleAt(j: Int): Double = dvals(used(j))
@@ -106,9 +115,14 @@ object PackedKernels {
     * decideFromCounts): NULLV unless the vertex STRICTLY wants to move;
     * otherwise the argmax candidate community under the canonical
     * (payoff, isCur, smallest-label) tie-break. Precondition (holds by
-    * construction in runDriverState): `size` covers every value of `comm`. */
-  def kHedonic(id: Long, nbrs: ArrayData, comm: LongLongMap, size: LongLongMap,
-               alpha: Double): Long = {
+    * construction in runDriverState): `size` covers every value of `comm`.
+    *
+    * `wts` null = unweighted. Weighted (Config.weighted): friendship mass =
+    * weight sum (dvals), strangers stay count-based (lvals) — mirrors
+    * gatherBoth + the weighted decideFromCounts expression-for-expression
+    * (unit weights reproduce the unweighted doubles bitwise). */
+  def kHedonic(id: Long, nbrs: ArrayData, wts: ArrayData, comm: LongLongMap,
+               size: LongLongMap, alpha: Double): Long = {
     val sCur = comm.slot(id)
     if (sCur < 0) return NULLV
     val curComm = comm.valueAt(sCur)
@@ -118,7 +132,10 @@ object PackedKernels {
     var i = 0
     while (i < n) {
       val cs = comm.slot(nbrs.getLong(i))
-      if (cs >= 0) s.addLong(comm.valueAt(cs), 1L)
+      if (cs >= 0) {
+        if (wts == null) s.addLong(comm.valueAt(cs), 1L)
+        else s.addBoth(comm.valueAt(cs), 1L, wts.getDouble(i))
+      }
       i += 1
     }
     if (s.nUsed == 0) return NULLV
@@ -131,21 +148,30 @@ object PackedKernels {
     while (j < s.nUsed) {
       val c = s.keyAt(j)
       val f = s.longAt(j)
-      val csize = size.valueAt(size.slot(c))
-      val ic = if (c == curComm) 1 else 0
-      val strangers = csize - f - ic
-      val p = f * (1.0 - alpha) - strangers * alpha
-      if (ic == 1) { curP = p; curSeen = true }
-      if (p > bestP || (p == bestP && (ic > bestIc || (ic == bestIc && c < bestC)))) {
-        bestP = p; bestIc = ic; bestC = c
+      // slot<0 = community absent from the size map. Holds-by-construction
+      // in runDriverState, but Explain/tests call the kernel with hand-built
+      // maps (ADVICE r3) — mirror the row plan's inner-join-drop semantics
+      // (decideFromCounts drops the candidate row) instead of indexing at -1.
+      val css = size.slot(c)
+      if (css >= 0) {
+        val csize = size.valueAt(css)
+        val ic = if (c == curComm) 1 else 0
+        val strangers = csize - f - ic
+        val fw = if (wts == null) f.toDouble else s.doubleAt(j)
+        val p = fw * (1.0 - alpha) - strangers * alpha
+        if (ic == 1) { curP = p; curSeen = true }
+        if (p > bestP || (p == bestP && (ic > bestIc || (ic == bestIc && c < bestC)))) {
+          bestP = p; bestIc = ic; bestC = c
+        }
       }
       j += 1
     }
     if (!curSeen) {
-      val curSize = size.valueAt(size.slot(curComm))
-      curP = 0L * (1.0 - alpha) - (curSize - 1L) * alpha
+      val curSlot = size.slot(curComm)
+      if (curSlot < 0) return NULLV // row plan: size join drops the vertex -> no move
+      curP = 0L * (1.0 - alpha) - (size.valueAt(curSlot) - 1L) * alpha
     }
-    if (bestP > curP) bestC else NULLV
+    if (bestIc >= 0 && bestP > curP) bestC else NULLV
   }
 
   /** LPA per-vertex decision (mirrors LabelPropagation.stepPlanMap):
@@ -228,6 +254,28 @@ object PackedKernels {
     new GenericArrayData(out)
   }
 
+  /** Hub-segment partial, weighted: (community, friends, wfriends) per
+    * segment — the weighted-hedonic hub branch sums both before the shared
+    * decide tail. */
+  def kCommCountsW(nbrs: ArrayData, wts: ArrayData, comm: LongLongMap): ArrayData = {
+    val n = nbrs.numElements()
+    val s = scratch.get()
+    s.begin(n)
+    var i = 0
+    while (i < n) {
+      val cs = comm.slot(nbrs.getLong(i))
+      if (cs >= 0) s.addBoth(comm.valueAt(cs), 1L, wts.getDouble(i))
+      i += 1
+    }
+    val out = new Array[Any](s.nUsed)
+    var j = 0
+    while (j < s.nUsed) {
+      out(j) = new GenericInternalRow(Array[Any](s.keyAt(j), s.longAt(j), s.doubleAt(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hub-segment partial: (label, vote) sums for one segment. */
   def kLabelVotes(nbrs: ArrayData, wts: ArrayData, lab: LongLongMap): ArrayData = {
     val n = nbrs.numElements()
@@ -262,9 +310,10 @@ object PackedKernels {
   }
 
   private case class HedonicDecideE(idE: Expression, nbrsE: Expression,
+      wtsE: Option[Expression],
       commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double)
       extends Expression {
-    override def children: Seq[Expression] = Seq(idE, nbrsE)
+    override def children: Seq[Expression] = Seq(idE, nbrsE) ++ wtsE
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def eval(input: InternalRow): Any = {
@@ -272,7 +321,8 @@ object PackedKernels {
       val nb = nbrsE.eval(input)
       if (id == null || nb == null) null
       else {
-        val v = kHedonic(id.asInstanceOf[Long], nb.asInstanceOf[ArrayData],
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kHedonic(id.asInstanceOf[Long], nb.asInstanceOf[ArrayData], w,
           commB.value.value, sizeB.value.value, alpha)
         if (v == NULLV) null else v
       }
@@ -284,20 +334,29 @@ object PackedKernels {
       val aVar = ctx.addMutableState("double", "alphaVal", v => s"$v = $aRef.doubleValue();")
       val idG = idE.genCode(ctx)
       val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
       ev.copy(code = code"""
         ${idG.code}
         ${nbG.code}
+        $wCode
         boolean ${ev.isNull} = true;
         long ${ev.value} = 0L;
         if (!${idG.isNull} && !${nbG.isNull}) {
           ${ev.value} = graft.algo.PackedKernels.kHedonic(
-            ${idG.value}, ${nbG.value}, $cMap, $sMap, $aVar);
+            ${idG.value}, ${nbG.value}, $wVal, $cMap, $sMap, $aVar);
           ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;
         }""")
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
-      copy(idE = newChildren(0), nbrsE = newChildren(1))
+      copy(idE = newChildren(0), nbrsE = newChildren(1),
+        wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
   }
 
   private case class LabelDecideE(idE: Expression, nbrsE: Expression,
@@ -408,6 +467,27 @@ object PackedKernels {
       copy(nbrsE = newChildren(0))
   }
 
+  private case class CommCountsWE(nbrsE: Expression, wtsE: Expression,
+      commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(nbrsE, wtsE)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("community", LongType, nullable = false),
+      StructField("friends", LongType, nullable = false),
+      StructField("wfriends", DoubleType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val nb = nbrsE.eval(input)
+      val w = wtsE.eval(input)
+      if (nb == null || w == null) null
+      else kCommCountsW(nb.asInstanceOf[ArrayData], w.asInstanceOf[ArrayData],
+        commB.value.value)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(nbrsE = newChildren(0), wtsE = newChildren(1))
+  }
+
   private case class LabelVotesE(nbrsE: Expression, wtsE: Option[Expression],
       labB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]])
       extends Expression with CodegenFallback {
@@ -432,9 +512,15 @@ object PackedKernels {
 
   // ---- Column builders ----------------------------------------------------
 
-  def hedonicDecide(id: Column, nbrs: Column, commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]],
+  def hedonicDecide(id: Column, nbrs: Column, wts: Option[Column],
+      commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]],
       sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double): Column =
-    EU.column(HedonicDecideE(EU.expression(id), EU.expression(nbrs), commB, sizeB, alpha))
+    EU.column(HedonicDecideE(EU.expression(id), EU.expression(nbrs),
+      wts.map(EU.expression), commB, sizeB, alpha))
+
+  def commCountsW(nbrs: Column, wts: Column,
+      commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]]): Column =
+    EU.column(CommCountsWE(EU.expression(nbrs), EU.expression(wts), commB))
 
   def labelDecide(id: Column, nbrs: Column, wts: Option[Column],
       labB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]]): Column =

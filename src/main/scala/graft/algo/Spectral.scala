@@ -226,10 +226,18 @@ object Spectral {
         .withColumn("rk", row_number().over(Window.orderBy(desc("dq"), asc("community"))))
         .filter(col("rk") <= budget)
         .select(col("community"), lit(true).as("doSplit"))
-      val relabeled = st
+      // Canonical relabel = min id per (community, sign-group). Round 3 did
+      // this with min().over(Window.partitionBy(community, grp)) — a window
+      // that buffers EACH COMMUNITY in one task (phase 1: the whole graph in
+      // two tasks). Aggregate-and-broadcast-join instead: the group-min
+      // table has ≤ 2 rows per community (tiny — bounded by cfg.clusters
+      // after the budget filter), the V-row side never re-sorts.
+      val grouped = st
         .join(broadcast(accepted), Seq("community"), "left")
         .withColumn("grp", when(col("doSplit"), col("s")).otherwise(lit(0.0)))
-        .withColumn("newc", min("id").over(Window.partitionBy("community", "grp")))
+      val grpMin = grouped.groupBy("community", "grp").agg(min("id").as("newc"))
+      val relabeled = grouped
+        .join(broadcast(grpMin), Seq("community", "grp"))
         .select(col("id"), col("newc").as("community"))
       val pinned = Iterate.pinSums(relabeled, Seq.empty)
       stPin.release(); state0.release(); membersPin.release()

@@ -111,13 +111,19 @@ object Dedup {
       .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
       .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
       .groupBy("ida", "idb", "sza", "szb").agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       // filter on the UNROUNDED value (oracle SQL does the same), round
       // only for output — keeps threshold semantics engine-identical.
       .withColumn("jraw",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jraw") >= threshold)
       .select(col("ida"), col("idb"), round(col("jraw"), 6).as("jaccard"))
+    // Pin the (tiny) pair set, release the corpus-scale shingle cache —
+    // the lshPairs/ivfTopK lifetime discipline (round-3 leak in a
+    // long-lived session; Bench hid it by purging between queries).
+    val out = graft.io.Iterate.pin(pairs)
+    sh.unpersist(blocking = false)
+    out
   }
 
   // -------------------------------------------------------------- minhash
@@ -173,11 +179,14 @@ object Dedup {
       .select("ida", "idb").distinct()
       .join(sig.select(col("id").as("ida"), col("sig").as("siga")), Seq("ida"))
       .join(sig.select(col("id").as("idb"), col("sig").as("sigb")), Seq("idb"))
-    val out = cands.withColumn("eraw",
+    val pairs = cands.withColumn("eraw",
       size(filter(zip_with(col("siga"), col("sigb"), (a, b) => a === b),
         x => x)).cast("double") / numHashes)
       .filter(col("eraw") >= threshold)
       .select(col("ida"), col("idb"), round(col("eraw"), 6).as("est_jaccard"))
+    // pin result, release the signature cache (lshPairs lifetime pattern)
+    val out = graft.io.Iterate.pin(pairs)
+    sig.unpersist(blocking = false)
     out
   }
 
@@ -249,7 +258,7 @@ object Dedup {
     }: _*)
     val keyed = sh.select(col("id"), explode(keys).as("key"))
     val hamming = bit_count(col("sha").bitwiseXOR(col("shb")))
-    keyed.select(col("key"), col("id").as("ida"))
+    val pairs = keyed.select(col("key"), col("id").as("ida"))
       .join(keyed.select(col("key"), col("id").as("idb")), Seq("key"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
@@ -258,5 +267,9 @@ object Dedup {
       .withColumn("hamming", hamming.cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
+    // pin result, release the simhash cache (lshPairs lifetime pattern)
+    val out = graft.io.Iterate.pin(pairs)
+    sh.unpersist(blocking = false)
+    out
   }
 }

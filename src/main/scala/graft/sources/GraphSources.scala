@@ -25,19 +25,36 @@ object GraphSources {
   }
 
   /** SNAP community file, one community per line (node ids separated by
-    * whitespace) — returns (id, community) with community = 0-based line
-    * rank (reference scripts/utils.py:105-122 "per-line" mode).
-    * Line order is made deterministic by sorting on the parsed node list.
-    */
-  def readCommunitiesPerLine(spark: SparkSession, path: String): DataFrame = {
+    * whitespace) — returns (id, community) with community ids dense 0..k-1
+    * (reference scripts/utils.py:105-122 "per-line" mode; consumers — ARI,
+    * induction — need label identity, not the reference's line order).
+    *
+    * Ids are assigned WITHOUT a global sort (the round-3 version's
+    * `row_number() OVER (ORDER BY nodes)` pulled every line through one
+    * WindowExec task): rank within `nBuckets` hash buckets + driver-side
+    * cumulative bucket offsets — the same shape as
+    * `EdgeExtraction.denseVertexIds`. Deterministic (bucket = xxhash64 of
+    * the node list, sorted by node list within bucket), scales to community
+    * files of any size. */
+  def readCommunitiesPerLine(spark: SparkSession, path: String,
+                             nBuckets: Int = 256): DataFrame = {
     val lines = spark.read.text(path)
       .filter(!col("value").startsWith("#") && trim(col("value")) =!= "")
       .select(split(trim(col("value")), "\\s+").cast("array<long>").as("nodes"))
+      .withColumn("bucket", pmod(xxhash64(col("nodes")), lit(nBuckets.toLong)))
+    val counts = lines.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nBuckets).scanLeft(0L) {
+      case (acc, b) => acc + counts.getOrElse(b.toLong, 0L)
+    }.toArray
+    val offsetCol = element_at(
+      array(offsets.take(nBuckets).map(lit(_)): _*), (col("bucket") + 1).cast("int"))
     import org.apache.spark.sql.expressions.Window
     lines
-      .withColumn("community",
-        row_number().over(Window.orderBy(col("nodes"))).cast("long") - 1)
-      .select(col("community"), explode(col("nodes")).as("id"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("nodes"))).cast("long"))
+      .select((offsetCol + col("r") - 1).as("community"),
+        explode(col("nodes")).as("id"))
       .select("id", "community")
   }
 

@@ -50,6 +50,32 @@ class PackedSpec extends SparkSpec {
     }
   }
 
+  test("hedonic: WEIGHTED packed kernel and hub branch match the weighted row plan") {
+    import spark.implicits._
+    val wedges = Fixtures.zachary.map { case (u, v) =>
+      graft.model.Edge(u, v, (((u + 2 * v) % 5) * 10 + 1).toDouble)
+    }.toDS()
+    val symDf = GraphOps.symmetrize(wedges).select("src", "dst", "weight")
+    val commB = new StateMap.Ref(sc.broadcast(llMap(stateSeq)))
+    val sizeB = new StateMap.Ref(sc.broadcast(llMap(sizesOf(stateSeq))))
+    val alpha = 0.12
+    val gate = graft.util.Portable.parityGate(col("id"), 3)
+    val expect = rows3(
+      Hedonic.stepPlanMap(symDf, commB, sizeB, alpha, gate, weighted = true))
+    assert(expect.nonEmpty)
+    // flag sanity: 1..41 weights must flip at least one decision vs counts
+    val unweighted = rows3(
+      Hedonic.stepPlanMap(symDf.select("src", "dst"), commB, sizeB, alpha, gate))
+    assert(expect != unweighted)
+    for (cap <- Seq(1 << 20, 2)) {
+      val p = PackedAdjacency.build(symDf, "src", weighted = true, segCap = cap)
+      if (cap == 2) assert(p.maxSegs > 1)
+      val got = rows3(Hedonic.stepPlanPacked(p, commB, sizeB, alpha, gate))
+      assert(got == expect, s"segCap=$cap")
+      p.unpersist()
+    }
+  }
+
   test("lpa: packed kernel and hub branch match the row-based plan (w + uw)") {
     import spark.implicits._
     // Varied weights so the weighted vote actually differs from the count.

@@ -39,6 +39,22 @@ class StrategySpec extends SparkSpec {
     assert(toMap(mB) == toMap(mS))
   }
 
+  test("hedonic: WEIGHTED runs agree across strategies") {
+    import spark.implicits._
+    // Varied integral weights (shared-path counts) so the weighted payoff
+    // genuinely reorders candidates vs the unweighted count.
+    val wedges = pairs.map { case (u, v) =>
+      graft.model.Edge(u, v, ((u * 3 + v) % 4 + 1).toDouble)
+    }.toDS()
+    val init = membersOf((0L to 7L).map(i => (i, i % 3)))
+    val cfg = Hedonic.Config(maxSupersteps = 40, weighted = true)
+    val (mB, metB) = Hedonic.run(wedges, init, cfg)
+    val (mS, metS) = Hedonic.run(wedges, init, cfg.copy(broadcastStateMaxRows = 0L))
+    assert(toMap(mB) == toMap(mS))
+    assert(metB.map(m => (m.superstep, m.moved, m.frontier)) ==
+      metS.map(m => (m.superstep, m.moved, m.frontier)))
+  }
+
   test("pagerank: broadcast-state and shuffle iterations match at 1e-12") {
     val e = edgesOf(Fixtures.zachary)
     val b = PageRank.run(e, PageRank.Config(fixedIter = Some(20)))
