@@ -14,28 +14,73 @@ object Harness {
   /** O2 percentage slicing of a sorted work list (reference
     * real_nets.py:147-164: first/last/ignore_* percent of the
     * path-sorted experiment shards). Keeps rows with fractional rank in
-    * [fromPct, toPct) under the given ordering. */
+    * [fromPct, toPct) under the given ordering.
+    *
+    * Ranked WITHOUT a global sort (the round-3 version's bare
+    * `Window.orderBy` pulled the whole table through one WindowExec
+    * task — the anti-pattern `denseVertexIds`/`readCommunitiesPerLine`
+    * already purged): range-repartition on the order keys, rank within
+    * each (already range-ordered) partition, add driver-side cumulative
+    * partition offsets. One tiny count-by-partition job; every task
+    * sorts only its slice. */
   def slicePct(df: DataFrame, orderCols: Seq[String],
-               fromPct: Double, toPct: Double): DataFrame = {
+               fromPct: Double, toPct: Double, nBuckets: Int = 256): DataFrame = {
     require(fromPct >= 0 && toPct <= 1 && fromPct <= toPct)
-    val w = Window.orderBy(orderCols.map(col): _*)
     val n = df.count()
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > (fromPct * n).toLong && col("__rk") <= (toPct * n).toLong)
-      .drop("__rk")
+    val lo = (fromPct * n).toLong
+    val hi = (toPct * n).toLong
+    val ranged = df.repartitionByRange(nBuckets, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nBuckets).scanLeft(0L) {
+      case (acc, p) => acc + counts.getOrElse(p, 0L)
+    }.toArray
+    val offsetCol = element_at(
+      array(offsets.take(nBuckets).map(lit(_)): _*), col("__pid") + 1)
+    val rk = offsetCol +
+      row_number().over(Window.partitionBy(col("__pid"))
+        .orderBy(orderCols.map(col): _*)).cast("long") - 1
+    ranged.withColumn("__rk", rk)
+      .filter(col("__rk") >= lo && col("__rk") < hi)
+      .drop("__rk", "__pid")
   }
 
   /** O4 deterministic subsample of k rows (reference plot_figures.py:396-397
     * samples 10k before KDE): portable-hash-ordered head — stable under
-    * repartitioning, unlike df.sample. */
+    * repartitioning, unlike df.sample.
+    *
+    * The hash order makes the global sort free to avoid: bucket = top 8
+    * bits of the u32 hash IS the range partitioning of the ordering, so
+    * rank-within-bucket + driver bucket offsets (the denseVertexIds
+    * shape) replaces round 3's single-task `Window.orderBy(__h, ...)`.
+    * Buckets past the k-th ranked row are filtered before their sort. */
   def sampleDeterministic(df: DataFrame, k: Int, keyCols: Seq[String]): DataFrame = {
+    val nBuckets = 256
     val h = graft.util.Portable.u32(
       graft.util.Portable.key((lit("smp") +: keyCols.map(col)): _*))
-    df.withColumn("__h", h)
-      .withColumn("__rk",
-        row_number().over(Window.orderBy((col("__h") +: keyCols.map(col)): _*)))
-      .filter(col("__rk") <= k)
-      .drop("__h", "__rk")
+    val hashed = df.withColumn("__h", h)
+      .withColumn("__b", shiftright(col("__h"), 24).cast("int"))
+    val counts = hashed.groupBy("__b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nBuckets).scanLeft(0L) {
+      case (acc, b) => acc + counts.getOrElse(b, 0L)
+    }.toArray
+    // First bucket whose offset already reaches k: later buckets cannot
+    // contribute to the top-k head — drop them before the window sorts.
+    val lastBucket = offsets.indexWhere(_ >= k.toLong) match {
+      case -1 => nBuckets - 1
+      case i  => math.min(i, nBuckets - 1)
+    }
+    val offsetCol = element_at(
+      array(offsets.take(nBuckets).map(lit(_)): _*), col("__b") + 1)
+    val rk = offsetCol +
+      row_number().over(Window.partitionBy(col("__b"))
+        .orderBy((col("__h") +: keyCols.map(col)): _*)).cast("long")
+    hashed.filter(col("__b") <= lastBucket)
+      .withColumn("__rk", rk)
+      .filter(col("__rk") <= k.toLong)
+      .drop("__h", "__b", "__rk")
   }
 
   /** U3 canonical partition key (reference exp.py:82,97-99 dedups repeated

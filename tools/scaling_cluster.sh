@@ -22,7 +22,13 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 EXEC_MEM_MB=${SPARK_GRAFT_WORKER_MB:-12288}
-for WORKERS in 2 8; do
+# Executor-process counts for the two legs (N and 4N executors). The
+# default 2-vs-8 puts 32 cores on the host at the big leg — the mandated
+# shape, but DRAM-saturated on this single-socket box; 1-vs-4 (4 vs 16
+# cores) keeps per-executor memory bandwidth roughly constant across the
+# legs, which is what a real 4N-executor cluster provides by construction.
+WORKERS_LIST=${SPARK_GRAFT_WORKERS_LIST:-"2 8"}
+for WORKERS in $WORKERS_LIST; do
   CORES=$((WORKERS * 4))
   echo "=== local-cluster[$WORKERS,4,$EXEC_MEM_MB] ($CORES cores) ==="
   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
@@ -36,11 +42,12 @@ for WORKERS in 2 8; do
     -cp "$CP" graft.ScalingBench 2>"$OUT/cluster_$WORKERS.err" \
     | grep -o '{"cpus".*}' | tee "$OUT/cluster_$WORKERS.json"
 done
-python3 - "$OUT" <<'EOF'
+set -- $WORKERS_LIST
+python3 - "$OUT" "$1" "$2" <<'EOF'
 import json, sys, pathlib
 out = pathlib.Path(sys.argv[1])
-a = json.loads((out/"cluster_2.json").read_text())
-b = json.loads((out/"cluster_8.json").read_text())
+a = json.loads((out/f"cluster_{sys.argv[2]}.json").read_text())
+b = json.loads((out/f"cluster_{sys.argv[3]}.json").read_text())
 for metric in ("hedonic_edges_per_sec", "hedonic_iter_edges_per_sec",
                "pagerank_edges_per_sec", "pagerank_iter_edges_per_sec"):
     if a.get(metric, 0) and b.get(metric, 0):
