@@ -146,6 +146,10 @@ object ScalingBench {
     // broadcast-state iteration (zero edge-scale exchange per round);
     // 0 forces the co-partitioned shuffle path.
     val bcastMax = sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX", "4000000").toLong
+    // Kernel A/B: dense-index (default) vs hash-probe state kernels — the
+    // direct measurement of the DRAM-random-probe term in the N-vs-4N
+    // efficiency decomposition (BASELINE.md).
+    val indexed = sys.env.getOrElse("SPARK_GRAFT_INDEXED", "true").toBoolean
 
     // Hedonic to convergence from singletons. Setup (CSR-packed adjacency
     // build — one E-row shuffle, amortized over all supersteps) and the
@@ -156,7 +160,7 @@ object ScalingBench {
     val t1 = System.nanoTime()
     val (members, metrics) = Hedonic.run(edges, init,
       Hedonic.Config(alpha = Some(alpha), maxSupersteps = maxSS,
-        broadcastStateMaxRows = bcastMax))
+        broadcastStateMaxRows = bcastMax, indexedState = indexed))
     val tHed = (System.nanoTime() - t1) / 1e9
     System.err.println("superstep wallMs: " + metrics.map(_.wallMs).mkString(","))
     val supersteps = metrics.size
@@ -171,7 +175,8 @@ object ScalingBench {
     val prIterMs =
       if (!sys.env.get("SPARK_GRAFT_SKIP_PR").exists(_.toBoolean)) {
         val (pr, ms) = PageRank.runTimed(edges,
-          PageRank.Config(fixedIter = Some(10), broadcastStateMaxRows = bcastMax))
+          PageRank.Config(fixedIter = Some(10), broadcastStateMaxRows = bcastMax,
+            indexedState = indexed))
         pr.count()
         ms
       } else Seq.empty[Long]

@@ -85,7 +85,13 @@ object Hedonic {
       // wfriends*(1-a) - strangers*a. With unit weights this is bitwise the
       // unweighted formula. Reference graphs are unweighted; parity
       // queries use the default.
-      weighted: Boolean = false)
+      weighted: Boolean = false,
+      // Dense-index kernels for the broadcast-state path (hub-free graphs
+      // only — maxSegs > 1 falls back to the hash kernels): neighbor arrays
+      // remapped once to state-array positions, per-round broadcast = the
+      // bare values array. Decision-identical (shared kernel tails); kept
+      // switchable for the hash-vs-index A/B the scaling evidence rests on.
+      indexedState: Boolean = true)
 
   /** friends per (id, candidate community): one equi-join of the symmetrized
     * edges with membership on the neighbor endpoint, then a hash aggregate
@@ -333,6 +339,26 @@ object Hedonic {
     dec.select(col("id"), col("bestComm"), gate.as("doMove"))
   }
 
+  /** Dense-index superstep plan (hub-free production path): same shape as
+    * stepPlanPacked's single-segment branch, but the kernel reads the
+    * per-round community state as a bare long[] through int position
+    * arrays (PackedAdjacency.reindex / PackedKernels.kHedonicIdx) —
+    * decision-identical by shared kernel tail. */
+  private[graft] def stepPlanPackedIdx(
+      pidx: graft.graph.PackedIdxAdj,
+      commArr: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
+      alpha: Double,
+      gate: org.apache.spark.sql.Column): DataFrame = {
+    val wtsOpt = if (pidx.weighted) Some(col("wts")) else None
+    pidx.df
+      .select(col("id"),
+        PackedKernels.hedonicDecideIdx(col("myIdx"), col("nbrs"), wtsOpt,
+          commArr, sizeOf, alpha).as("bestComm"))
+      .filter(col("bestComm").isNotNull)
+      .select(col("id"), col("bestComm"), gate.as("doMove"))
+  }
+
   /** M4 one-pass hedonic improvement at alpha = 0 (reference
     * `community_onepass_improvement_hedonic`, hedonic/__init__.py:282-292):
     * preferred communities are computed against the INITIAL membership for
@@ -553,6 +579,8 @@ object Hedonic {
     import graft.util.StateMap
     val commR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
       StateMap.LongLongMap]](null)
+    val commArrR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      Array[Long]]](null)
     val sizeR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
       StateMap.LongLongMap]](null)
     val roundR = new StateMap.Ref[Integer](Integer.valueOf(0))
@@ -560,7 +588,26 @@ object Hedonic {
       if (cfg.parityGating)
         graft.util.Portable.parityGate(col("id"), StateMap.intRef(roundR))
       else lit(true)
-    val stepDf = stepPlanPacked(packed, commR, sizeR, alpha, gate)
+    // Dense-index path (hub-free graphs): remap neighbor ids to state-array
+    // positions once, then each round broadcasts only the bare comms array
+    // (8 B/vertex vs ~32 B/vertex hash map) and the kernel does one direct
+    // read per neighbor. Hash-kernel path kept for hub graphs and for the
+    // scaling A/B (SPARK_GRAFT_INDEXED / Config.indexedState).
+    val useIdx = cfg.indexedState && packed.maxSegs == 1
+    val pidxOpt =
+      if (useIdx) {
+        val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
+        val pidx = graft.graph.PackedAdjacency.reindex(packed, idxB)
+        // unpersist, not destroy: a lost cache partition re-runs the remap
+        // lineage, which still needs the broadcast re-shippable.
+        idxB.unpersist()
+        packed.unpersist() // the id-based cache is dead once the remap is live
+        Some(pidx)
+      } else None
+    val stepDf = pidxOpt match {
+      case Some(pidx) => stepPlanPackedIdx(pidx, commArrR, sizeR, alpha, gate)
+      case None       => stepPlanPacked(packed, commR, sizeR, alpha, gate)
+    }
     var metrics = Vector.empty[RunMetrics]
     var superstep = startStep
     var converged = false
@@ -573,12 +620,16 @@ object Hedonic {
         j += 1
       }
       val tSizes = System.nanoTime()
-      commR.value = sc.broadcast(StateMap.longLong(ids, comms, n))
+      // clone: local mode hands tasks the broadcast OBJECT itself; the
+      // driver mutates comms right after collect, so ship a copy.
+      if (useIdx) commArrR.value = sc.broadcast(comms.clone())
+      else commR.value = sc.broadcast(StateMap.longLong(ids, comms, n))
       sizeR.value = sc.broadcast(StateMap.longLong(sizeMap))
       roundR.value = Integer.valueOf(superstep)
       val tLocal = System.nanoTime()
       val rows = stepDf.collect()
-      commR.value.destroy(); sizeR.value.destroy()
+      if (useIdx) commArrR.value.destroy() else commR.value.destroy()
+      sizeR.value.destroy()
       val tJob = System.nanoTime()
       // Every collected row is a wanter (wants = true pre-filtered in-plan);
       // doMove carries the gate. Non-wanters change nothing and are not
@@ -612,7 +663,10 @@ object Hedonic {
       converged = wanted == 0L
       superstep += 1
     }
-    packed.unpersist()
+    pidxOpt match {
+      case Some(pidx) => pidx.unpersist()
+      case None       => packed.unpersist()
+    }
     (stateDF, metrics)
   }
 

@@ -59,7 +59,8 @@ object LabelPropagation {
   def run(edges: Dataset[Edge], initOpt: Option[DataFrame] = None,
           maxIter: Int = 30, parityGating: Boolean = true,
           weighted: Boolean = false,
-          broadcastStateMaxRows: Long = 4000000L): DataFrame = {
+          broadcastStateMaxRows: Long = 4000000L,
+          indexedState: Boolean = true): DataFrame = {
     val init = initOpt
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
@@ -71,7 +72,7 @@ object LabelPropagation {
       val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
       val packed = graft.graph.PackedAdjacency.build(symDf, "src", weighted)
       return runDriverState(edges.sparkSession, packed, init, maxIter,
-        parityGating, weighted)
+        parityGating, weighted, indexedState)
     }
     // Shuffle path: cached pre-partitioned on dst (the join key); only the
     // V-row label side re-exchanges per round.
@@ -172,9 +173,24 @@ object LabelPropagation {
     * semantics identical to the shuffle loop: `wants` = majority label
     * differs (counted BEFORE gating, so convergence is gate-independent);
     * a node absent from the vote table keeps its label. */
+  /** Dense-index step plan (hub-free production path; see
+    * Hedonic.stepPlanPackedIdx). */
+  private[graft] def stepPlanPackedIdx(pidx: graft.graph.PackedIdxAdj,
+      labArr: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      gate: org.apache.spark.sql.Column): DataFrame = {
+    val wcol = if (pidx.weighted) Some(col("wts")) else None
+    pidx.df
+      .select(col("id"),
+        PackedKernels.labelDecideIdx(col("myIdx"), col("nbrs"), wcol, labArr)
+          .as("bestLabel"))
+      .filter(col("bestLabel").isNotNull)
+      .select(col("id"), col("bestLabel"), gate.as("g"))
+  }
+
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
       packed: graft.graph.PackedAdj, init: DataFrame, maxIter: Int,
-      parityGating: Boolean, weighted: Boolean): DataFrame = {
+      parityGating: Boolean, weighted: Boolean,
+      indexedState: Boolean = true): DataFrame = {
     import spark.implicits._
     val init0 = init.collect()
     val n = init0.length
@@ -192,18 +208,34 @@ object LabelPropagation {
     val sc = spark.sparkContext
     val labR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
       StateMap.LongLongMap]](null)
+    val labArrR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      Array[Long]]](null)
     val roundR = new StateMap.Ref[Integer](Integer.valueOf(0))
     val gate =
       if (parityGating) graft.util.Portable.parityGate(col("id"), StateMap.intRef(roundR))
       else lit(true)
-    val stepDf = stepPlanPacked(packed, labR, gate)
+    // Dense-index path (hub-free graphs; see Hedonic.runDriverState).
+    val useIdx = indexedState && packed.maxSegs == 1
+    val pidxOpt =
+      if (useIdx) {
+        val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
+        val pidx = graft.graph.PackedAdjacency.reindex(packed, idxB)
+        idxB.unpersist()
+        packed.unpersist()
+        Some(pidx)
+      } else None
+    val stepDf = pidxOpt match {
+      case Some(pidx) => stepPlanPackedIdx(pidx, labArrR, gate)
+      case None       => stepPlanPacked(packed, labR, gate)
+    }
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      labR.value = sc.broadcast(StateMap.longLong(ids, labs, n))
+      if (useIdx) labArrR.value = sc.broadcast(labs.clone())
+      else labR.value = sc.broadcast(StateMap.longLong(ids, labs, n))
       roundR.value = Integer.valueOf(iter)
       val rows = stepDf.collect()
-      labR.value.destroy()
+      if (useIdx) labArrR.value.destroy() else labR.value.destroy()
       // Every collected row is a changer (best != current, filtered
       // in-plan) — identical counters and state to the old full collect.
       var wanted = 0L
@@ -221,7 +253,10 @@ object LabelPropagation {
       done = wanted == 0L
       iter += 1
     }
-    packed.unpersist()
+    pidxOpt match {
+      case Some(pidx) => pidx.unpersist()
+      case None       => packed.unpersist()
+    }
     (0 until n).map(k => (ids(k), labs(k))).toDF("id", "label")
   }
 }

@@ -138,6 +138,40 @@ object PackedKernels {
       }
       i += 1
     }
+    hedonicDecideTail(s, weighted = wts != null, curComm, size, alpha)
+  }
+
+  /** Dense-index twin of kHedonic (PackedAdjacency.reindex path): `nbrs`
+    * hold POSITIONS into the driver state array (-1 = endpoint outside the
+    * state table, the hash kernel's slot<0 skip), `comm` is the bare
+    * per-round values array. One direct 8-byte read per neighbor replaces
+    * the ~2 random hash-probe cache lines per edge that saturate DRAM at
+    * high core counts (BASELINE.md round-3 decomposition); the shared
+    * decide tail keeps the decision bitwise-identical. */
+  def kHedonicIdx(myIdx: Int, nbrs: ArrayData, wts: ArrayData, comm: Array[Long],
+                  size: LongLongMap, alpha: Double): Long = {
+    if (myIdx < 0) return NULLV
+    val curComm = comm(myIdx)
+    val n = nbrs.numElements()
+    val s = scratch.get()
+    s.begin(n)
+    var i = 0
+    while (i < n) {
+      val ni = nbrs.getInt(i)
+      if (ni >= 0) {
+        if (wts == null) s.addLong(comm(ni), 1L)
+        else s.addBoth(comm(ni), 1L, wts.getDouble(i))
+      }
+      i += 1
+    }
+    hedonicDecideTail(s, weighted = wts != null, curComm, size, alpha)
+  }
+
+  /** Shared decide tail (payoff -> canonical argmax -> strict-improvement)
+    * over the gathered scratch counts — one body for the hash and indexed
+    * kernels so their decisions are identical by construction. */
+  @inline private def hedonicDecideTail(s: Scratch, weighted: Boolean,
+      curComm: Long, size: LongLongMap, alpha: Double): Long = {
     if (s.nUsed == 0) return NULLV
     var bestP = Double.NegativeInfinity
     var bestIc = -1
@@ -157,7 +191,7 @@ object PackedKernels {
         val csize = size.valueAt(css)
         val ic = if (c == curComm) 1 else 0
         val strangers = csize - f - ic
-        val fw = if (wts == null) f.toDouble else s.doubleAt(j)
+        val fw = if (!weighted) f.toDouble else s.doubleAt(j)
         val p = fw * (1.0 - alpha) - strangers * alpha
         if (ic == 1) { curP = p; curSeen = true }
         if (p > bestP || (p == bestP && (ic > bestIc || (ic == bestIc && c < bestC)))) {
@@ -190,6 +224,26 @@ object PackedKernels {
       if (ls >= 0) s.addDouble(lab.valueAt(ls), if (wts == null) 1.0 else wts.getDouble(i))
       i += 1
     }
+    labelDecideTail(s, cur)
+  }
+
+  /** Dense-index twin of kLabel (see kHedonicIdx for the remap contract). */
+  def kLabelIdx(myIdx: Int, nbrs: ArrayData, wts: ArrayData, lab: Array[Long]): Long = {
+    if (myIdx < 0) return NULLV
+    val cur = lab(myIdx)
+    val n = nbrs.numElements()
+    val s = scratch.get()
+    s.begin(n)
+    var i = 0
+    while (i < n) {
+      val ni = nbrs.getInt(i)
+      if (ni >= 0) s.addDouble(lab(ni), if (wts == null) 1.0 else wts.getDouble(i))
+      i += 1
+    }
+    labelDecideTail(s, cur)
+  }
+
+  @inline private def labelDecideTail(s: Scratch, cur: Long): Long = {
     if (s.nUsed == 0) return NULLV
     var bestCnt = Double.NegativeInfinity
     var bestL = Long.MaxValue
@@ -226,6 +280,29 @@ object PackedKernels {
           sum += (if (wts == null) r / d else r * wts.getDouble(i) / d)
           any = true
         }
+      }
+      i += 1
+    }
+    if (any) sum else Double.NaN
+  }
+
+  /** Dense-index twin of kContrib. Unweighted (`wts`/`deg` null): `q` is
+    * the PRE-DIVIDED per-vertex contribution rank(u)/deg(u), computed once
+    * on the driver (same IEEE division the hash kernel performed per edge,
+    * so sums are bitwise-identical) — ONE direct read per neighbor instead
+    * of two hash probes. Weighted: `q` = rank, `deg` = strength; the
+    * (r*w)/d evaluation order matches kContrib exactly. */
+  def kContribIdx(nbrs: ArrayData, wts: ArrayData, q: Array[Double],
+                  deg: Array[Double]): Double = {
+    val n = nbrs.numElements()
+    var sum = 0.0
+    var any = false
+    var i = 0
+    while (i < n) {
+      val ni = nbrs.getInt(i)
+      if (ni >= 0) {
+        sum += (if (wts == null) q(ni) else q(ni) * wts.getDouble(i) / deg(ni))
+        any = true
       }
       i += 1
     }
@@ -307,6 +384,14 @@ object PackedKernels {
     val ref = ctx.addReferenceObj("stateRef", b, refCls)
     ctx.addMutableState(cls, "stateMap",
       v => s"$v = ($cls) ((org.apache.spark.broadcast.Broadcast) $ref.value()).value();")
+  }
+
+  /** Like mapState but for bare per-round primitive-array broadcasts
+    * (`long[]` / `double[]`) — the dense-index kernels' state payload. */
+  private def arrState(ctx: CodegenContext, b: Ref[_], jt: String): String = {
+    val ref = ctx.addReferenceObj("stateRef", b, refCls)
+    ctx.addMutableState(jt, "stateArr",
+      v => s"$v = ($jt) ((org.apache.spark.broadcast.Broadcast) $ref.value()).value();")
   }
 
   private case class HedonicDecideE(idE: Expression, nbrsE: Expression,
@@ -447,6 +532,151 @@ object PackedKernels {
         wtsE = if (wtsE.isDefined) Some(newChildren(1)) else None)
   }
 
+  /** Dense-index expression twins (PackedAdjacency.reindex path, maxSegs
+    * == 1 only — hub graphs stay on the hash kernels). State Refs carry
+    * per-round broadcasts of BARE primitive arrays. */
+  private case class HedonicDecideIdxE(idxE: Expression, nbrsE: Expression,
+      wtsE: Option[Expression],
+      commB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double)
+      extends Expression {
+    override def children: Seq[Expression] = Seq(idxE, nbrsE) ++ wtsE
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val mi = idxE.eval(input)
+      val nb = nbrsE.eval(input)
+      if (mi == null || nb == null) null
+      else {
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kHedonicIdx(mi.asInstanceOf[Int], nb.asInstanceOf[ArrayData], w,
+          commB.value.value, sizeB.value.value, alpha)
+        if (v == NULLV) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cArr = arrState(ctx, commB, "long[]")
+      val sMap = mapState(ctx, sizeB, llCls)
+      val aRef = ctx.addReferenceObj("alpha", java.lang.Double.valueOf(alpha), "java.lang.Double")
+      val aVar = ctx.addMutableState("double", "alphaVal", v => s"$v = $aRef.doubleValue();")
+      val idxG = idxE.genCode(ctx)
+      val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
+      ev.copy(code = code"""
+        ${idxG.code}
+        ${nbG.code}
+        $wCode
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${idxG.isNull} && !${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kHedonicIdx(
+            ${idxG.value}, ${nbG.value}, $wVal, $cArr, $sMap, $aVar);
+          ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(idxE = newChildren(0), nbrsE = newChildren(1),
+        wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
+  }
+
+  private case class LabelDecideIdxE(idxE: Expression, nbrsE: Expression,
+      wtsE: Option[Expression],
+      labB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]])
+      extends Expression {
+    override def children: Seq[Expression] = Seq(idxE, nbrsE) ++ wtsE
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val mi = idxE.eval(input)
+      val nb = nbrsE.eval(input)
+      if (mi == null || nb == null) null
+      else {
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kLabelIdx(mi.asInstanceOf[Int], nb.asInstanceOf[ArrayData], w, labB.value.value)
+        if (v == NULLV) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lArr = arrState(ctx, labB, "long[]")
+      val idxG = idxE.genCode(ctx)
+      val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
+      ev.copy(code = code"""
+        ${idxG.code}
+        ${nbG.code}
+        $wCode
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${idxG.isNull} && !${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kLabelIdx(
+            ${idxG.value}, ${nbG.value}, $wVal, $lArr);
+          ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(idxE = newChildren(0), nbrsE = newChildren(1),
+        wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
+  }
+
+  private case class PrContribIdxE(nbrsE: Expression, wtsE: Option[Expression],
+      qB: Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]],
+      degB: Option[Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]]])
+      extends Expression {
+    override def children: Seq[Expression] = Seq(nbrsE) ++ wtsE
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val nb = nbrsE.eval(input)
+      if (nb == null) null
+      else {
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kContribIdx(nb.asInstanceOf[ArrayData], w, qB.value.value,
+          degB.map(_.value.value).orNull)
+        if (java.lang.Double.isNaN(v)) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val qArr = arrState(ctx, qB, "double[]")
+      val dArr = degB.map(arrState(ctx, _, "double[]")).getOrElse("null")
+      val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
+      ev.copy(code = code"""
+        ${nbG.code}
+        $wCode
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kContribIdx(
+            ${nbG.value}, $wVal, $qArr, (double[]) $dArr);
+          ${ev.isNull} = java.lang.Double.isNaN(${ev.value});
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(nbrsE = newChildren(0),
+        wtsE = if (wtsE.isDefined) Some(newChildren(1)) else None)
+  }
+
   /** Hub-branch partials are cold (multi-segment vertices only), so these
     * two stay interpreted (CodegenFallback) — the loop work is in the
     * static kernels either way. */
@@ -517,6 +747,22 @@ object PackedKernels {
       sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double): Column =
     EU.column(HedonicDecideE(EU.expression(id), EU.expression(nbrs),
       wts.map(EU.expression), commB, sizeB, alpha))
+
+  def hedonicDecideIdx(myIdx: Column, nbrs: Column, wts: Option[Column],
+      commB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double): Column =
+    EU.column(HedonicDecideIdxE(EU.expression(myIdx), EU.expression(nbrs),
+      wts.map(EU.expression), commB, sizeB, alpha))
+
+  def labelDecideIdx(myIdx: Column, nbrs: Column, wts: Option[Column],
+      labB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]]): Column =
+    EU.column(LabelDecideIdxE(EU.expression(myIdx), EU.expression(nbrs),
+      wts.map(EU.expression), labB))
+
+  def prContribIdx(nbrs: Column, wts: Option[Column],
+      qB: Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]],
+      degB: Option[Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]]]): Column =
+    EU.column(PrContribIdxE(EU.expression(nbrs), wts.map(EU.expression), qB, degB))
 
   def commCountsW(nbrs: Column, wts: Column,
       commB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]]): Column =

@@ -63,7 +63,13 @@ object PageRank {
       // the default ~100 MB broadcast trades against an E-row shuffle per
       // iteration; 0 forces the co-partitioned shuffle path (tests use
       // this to pin both strategies to the same fixtures).
-      broadcastStateMaxRows: Long = 4000000L)
+      broadcastStateMaxRows: Long = 4000000L,
+      // Dense-index kernels on the broadcast-state path (hub-free graphs;
+      // see Hedonic.Config.indexedState): unweighted iterations broadcast
+      // one PRE-DIVIDED rank/deg array per round (one read per edge
+      // instead of two hash probes), weighted ones a rank array against a
+      // once-broadcast strength array. Bitwise-identical sums.
+      indexedState: Boolean = true)
 
   def run(edges: Dataset[Edge], cfg: Config = Config(),
           verticesOpt: Option[DataFrame] = None): DataFrame =
@@ -186,19 +192,54 @@ object PageRank {
     // StateMap.Ref and Hedonic.runDriverState).
     import graft.util.StateMap
     val sc = spark.sparkContext
-    val degR = new StateMap.Ref(sc.broadcast(StateMap.longDouble(ids, degs, n)))
+    // Dense-index path (hub-free graphs): remap neighbors to state-array
+    // positions once; per round broadcast ONE bare double[] — pre-divided
+    // rank/deg when unweighted (kernel: one read per edge), rank alone when
+    // weighted (strength array broadcast once). Hash path kept for hub
+    // graphs and the scaling A/B (Config.indexedState).
+    val useIdx = cfg.indexedState && packed.maxSegs == 1
+    val qR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]](null)
+    val degArrROpt =
+      if (useIdx && cfg.weighted) Some(new StateMap.Ref(sc.broadcast(degs.clone())))
+      else None
+    val degR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      StateMap.LongDoubleMap]](
+      if (useIdx) null else sc.broadcast(StateMap.longDouble(ids, degs, n)))
     val rankR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
       StateMap.LongDoubleMap]](null)
-    val iterDf = iterPlanPacked(packed, rankR, degR, v, cfg)
+    val pidxOpt =
+      if (useIdx) {
+        val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
+        val pidx = graft.graph.PackedAdjacency.reindex(packed, idxB)
+        idxB.unpersist()
+        packed.unpersist()
+        Some(pidx)
+      } else None
+    val iterDf = pidxOpt match {
+      case Some(pidx) => iterPlanPackedIdx(pidx, qR, degArrROpt, v, cfg)
+      case None       => iterPlanPacked(packed, rankR, degR, v, cfg)
+    }
     var ranks = Array.fill(n)(1.0 / v)
     val nIter = cfg.fixedIter.getOrElse(cfg.maxIter)
     var iter = 0
     var done = false
     while (!done && iter < nIter) {
       val t0 = System.nanoTime()
-      rankR.value = sc.broadcast(StateMap.longDouble(ids, ranks, n))
+      if (useIdx) {
+        val q =
+          if (cfg.weighted) ranks.clone()
+          else {
+            // same IEEE division the hash kernel did per edge — bitwise-
+            // identical contributions, computed once per vertex instead.
+            val a = new Array[Double](n)
+            var z = 0
+            while (z < n) { a(z) = ranks(z) / degs(z); z += 1 }
+            a
+          }
+        qR.value = sc.broadcast(q)
+      } else rankR.value = sc.broadcast(StateMap.longDouble(ids, ranks, n))
       val rows = iterDf.collect()
-      rankR.value.destroy()
+      if (useIdx) qR.value.destroy() else rankR.value.destroy()
       val next = ranks.clone() // min-degree-1: every vertex receives a row
       var delta = 0.0
       var k = 0
@@ -214,7 +255,9 @@ object PageRank {
       iterMs += (System.nanoTime() - t0) / 1000000
       iter += 1
     }
-    degR.value.destroy()
+    if (degR.value != null) degR.value.destroy()
+    degArrROpt.foreach(_.value.destroy())
+    pidxOpt.foreach(_.unpersist())
     ((0 until n).map(k => (ids(k), ranks(k))).toDF("id", "rank"), iterMs.toSeq)
   }
 
@@ -295,6 +338,24 @@ object PageRank {
       if (packed.maxSegs > 1) contrib.groupBy("id").agg(sum("c").as("s"))
       else contrib.withColumnRenamed("c", "s")
     s.select(col("id"), newRank.as("rank"))
+  }
+
+  /** Dense-index iteration plan (hub-free production path; see
+    * PackedKernels.kContribIdx). No hub branch — reindex requires
+    * maxSegs == 1. */
+  private[graft] def iterPlanPackedIdx(pidx: graft.graph.PackedIdxAdj,
+      qR: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]],
+      degArrR: Option[graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]]],
+      v: Double, cfg: Config): DataFrame = {
+    val newRank =
+      lit((1.0 - cfg.damping) / v) +
+        lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(0.0))
+    val wcol = if (pidx.weighted) Some(col("wts")) else None
+    pidx.df
+      .select(col("id"),
+        PackedKernels.prContribIdx(col("nbrs"), wcol, qR, degArrR).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("id"), newRank.as("rank"))
   }
 
   /** Top-k vertices by rank (SURVEY.md §2.6 addition). */
