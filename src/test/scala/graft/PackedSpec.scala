@@ -133,6 +133,39 @@ class PackedSpec extends SparkSpec {
     }
   }
 
+  test("indexed kernels: outside-state vertices (-1 positions) match the row plan") {
+    // Vertex 33 is OUTSIDE stateSeq: reindex maps it (as row and as
+    // neighbor) to -1, and the indexed kernels must reproduce the row
+    // plan's inner-join-drop semantics exactly — NULLV for the row, skip
+    // for the neighbor — as the hash kernels already do.
+    val e = edgesOf(Fixtures.zachary)
+    val symDf = GraphOps.symmetrize(e).select("src", "dst")
+    val ids = stateSeq.map(_._1).toArray
+    val comms = stateSeq.map(_._2).toArray
+    val n = ids.length
+    val commB = new StateMap.Ref(sc.broadcast(llMap(stateSeq)))
+    val sizeB = new StateMap.Ref(sc.broadcast(llMap(sizesOf(stateSeq))))
+    val commArrB = new StateMap.Ref(sc.broadcast(comms.clone()))
+    val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
+    val alpha = 0.12
+    val gate = graft.util.Portable.parityGate(col("id"), 3)
+    val p = PackedAdjacency.build(symDf, "src")
+    val pidx = PackedAdjacency.reindex(p, idxB)
+    // myIdx = -1 exactly for vertex 33; its id appears in neighbor arrays
+    // as -1 (covered implicitly by the decision parity below).
+    val mi = pidx.df.select("id", "myIdx").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mi(33L) == -1 && mi.count(_._2 == -1) == 1)
+    val expectH = rows3(Hedonic.stepPlanMap(symDf, commB, sizeB, alpha, gate))
+    val gotH = rows3(Hedonic.stepPlanPackedIdx(pidx, commArrB, sizeB, alpha, gate))
+    assert(gotH == expectH)
+    val expectL = rows3(LabelPropagation.stepPlanMap(symDf, commB, false, gate))
+      .map { case (id, l, g) => (id, l, g) }
+    val gotL = rows3(LabelPropagation.stepPlanPackedIdx(pidx, commArrB, gate))
+    assert(gotL == expectL)
+    pidx.unpersist(); p.unpersist()
+  }
+
   test("packed single-segment superstep plans have zero shuffle exchanges") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
