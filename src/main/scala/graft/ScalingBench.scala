@@ -57,6 +57,13 @@ object ScalingBench {
       // sets this via -D, but the sbt path (tools/scaling.sh) relies on
       // this builder line.
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Pin spark.range/parallelize slice counts to the data-sized shuffle
+      // partitioning. In standalone/local-cluster mode defaultParallelism =
+      // max(registered cores, 2) and the first job is usually planned BEFORE
+      // executors finish registering — observed: the generator's 5e11-cell
+      // crossJoin over spark.range ran as 2 tasks at every cluster size,
+      // making both scaling legs equally serial.
+      .config("spark.default.parallelism", shufParts)
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       builder
@@ -65,6 +72,10 @@ object ScalingBench {
             new java.io.File("target/scala-2.13/classes").getAbsolutePath))
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "16g"))
+        // Don't let the first stages be planned/scheduled against a
+        // half-registered cluster: wait for every worker's executor.
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

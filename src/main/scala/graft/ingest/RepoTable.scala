@@ -83,6 +83,16 @@ object RepoTable {
     // (b) foreign candidates: `foreignSample` hash-chosen paths per repo,
     // kept at drawP so that E[cross cells] matches the dense pOut.
     val drawP = math.min(1.0, cfg.pOut * nPaths / foreignSample)
+    // No silent caps (repo policy): when pOut*nPaths > foreignSample the
+    // requested cross density is NOT representable with this sample size —
+    // every sampled path survives and the effective pOut is
+    // foreignSample/nPaths. At 5000 blocks the default pOut=5e-4 caps here
+    // (effective 6.4e-5) and yields a 1.17e9-edge graph; scaling runs pass
+    // an explicit SPARK_GRAFT_BENCH_POUT small enough not to cap.
+    if (cfg.pOut * nPaths / foreignSample > 1.0)
+      System.err.println(f"WARN RepoTable.generateSparse: drawP capped at 1 — " +
+        f"effective pOut = ${foreignSample.toDouble / nPaths}%.2e " +
+        f"(requested ${cfg.pOut}%.2e); raise foreignSample or lower pOut")
     val foreign = repos
       .select(col("repoIdx"), col("repoBlock"),
         explode(sequence(lit(0), lit(foreignSample - 1))).as("s"))
