@@ -64,6 +64,15 @@ object ScalingBench {
       // crossJoin over spark.range ran as 2 tasks at every cluster size,
       // making both scaling legs equally serial.
       .config("spark.default.parallelism", shufParts)
+      // The packed-adjacency cache rows carry avg-degree-sized arrays
+      // (thousands of elements at dense scale). The columnar cache's
+      // default 10k-row batch then needs ~100s of MB of unroll buffer PER
+      // TASK at materialization — measured: 4 concurrent pack tasks per
+      // 12 GB executor drove execution memory to zero (UNABLE_TO_ACQUIRE_
+      // MEMORY in the pack sort) on an 835M-edge build. Small batches cap
+      // the unroll spike; scan cost is unchanged (same bytes, more batches).
+      .config("spark.sql.inMemoryColumnarStorage.batchSize",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH", "1024"))
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       builder
@@ -169,16 +178,25 @@ object ScalingBench {
     // supersteps = the per-round rate the metric names), and lumping them
     // hides which one moved.
     val t1 = System.nanoTime()
-    val (members, metrics) = Hedonic.run(edges, init,
-      Hedonic.Config(alpha = Some(alpha), maxSupersteps = maxSS,
-        broadcastStateMaxRows = bcastMax, indexedState = indexed))
+    // SPARK_GRAFT_SKIP_HED mirrors SKIP_PR: on disk-tight hosts the two
+    // algorithms' pack shuffles (one each) can't coexist in /tmp, so the
+    // phases are measured in separate runs against the same edge parquet.
+    val (supersteps, tHedIter, communities) =
+      if (!sys.env.get("SPARK_GRAFT_SKIP_HED").exists(_.toBoolean)) {
+        val (members, metrics) = Hedonic.run(edges, init,
+          Hedonic.Config(alpha = Some(alpha), maxSupersteps = maxSS,
+            broadcastStateMaxRows = bcastMax, indexedState = indexed))
+        System.err.println("superstep wallMs: " + metrics.map(_.wallMs).mkString(","))
+        (metrics.size, metrics.map(_.wallMs).sum / 1e3,
+          members.select("community").distinct().count())
+      } else (0, 0.0, 0L)
     val tHed = (System.nanoTime() - t1) / 1e9
-    System.err.println("superstep wallMs: " + metrics.map(_.wallMs).mkString(","))
-    val supersteps = metrics.size
-    val tHedIter = metrics.map(_.wallMs).sum / 1e3
     val tHedBuild = tHed - tHedIter
-    val communities = members.select("community").distinct().count()
     val hedEdgesProcessed = 2L * edgeCount * supersteps
+    val hedSsPerSec = if (supersteps > 0) supersteps / tHed else 0.0
+    val hedIterSsPerSec = if (tHedIter > 0) supersteps / tHedIter else 0.0
+    val hedEdgesPerSec = if (supersteps > 0) hedEdgesProcessed / tHed else 0.0
+    val hedIterEdgesPerSec = if (tHedIter > 0) hedEdgesProcessed / tHedIter else 0.0
 
     // PageRank: fixed 10 iterations (the per-iteration cost is the metric;
     // a tol run adds a delta-join per iteration, timed separately).
@@ -209,10 +227,10 @@ object ScalingBench {
       s""""hedonic_sec":${f"$tHed%.3f"},"hedonic_supersteps":$supersteps,""" +
       s""""hedonic_build_sec":${f"$tHedBuild%.3f"},""" +
       s""""hedonic_iter_sec":${f"$tHedIter%.3f"},""" +
-      s""""hedonic_supersteps_per_sec":${f"${supersteps / tHed}%.4f"},""" +
-      s""""hedonic_iter_supersteps_per_sec":${f"${supersteps / tHedIter}%.4f"},""" +
-      s""""hedonic_edges_per_sec":${f"${hedEdgesProcessed / tHed}%.1f"},""" +
-      s""""hedonic_iter_edges_per_sec":${f"${hedEdgesProcessed / tHedIter}%.1f"},""" +
+      s""""hedonic_supersteps_per_sec":${f"$hedSsPerSec%.4f"},""" +
+      s""""hedonic_iter_supersteps_per_sec":${f"$hedIterSsPerSec%.4f"},""" +
+      s""""hedonic_edges_per_sec":${f"$hedEdgesPerSec%.1f"},""" +
+      s""""hedonic_iter_edges_per_sec":${f"$hedIterEdgesPerSec%.1f"},""" +
       s""""pagerank10_sec":${f"$tPr10%.3f"},""" +
       s""""pagerank_build_sec":${f"$tPrBuild%.3f"},""" +
       s""""pagerank_iter_sec":${f"$tPrIter%.3f"},""" +

@@ -466,9 +466,8 @@ object Hedonic {
       val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
       val packed = graft.graph.PackedAdjacency.build(
         GraphOps.symmetrize(edges).select(symCols.map(col): _*), "src",
-        weighted = cfg.weighted)
-      val edgeCount = packed.df
-        .agg(sum(size(col("nbrs")))).collect()(0).getLong(0)
+        weighted = cfg.weighted, deferCacheIfHubFree = cfg.indexedState)
+      val edgeCount = packed.degSum
       return runDriverState(edges, packed, startMembers, startStep, a, edgeCount, cfg, ckpt)
     }
 

@@ -70,7 +70,8 @@ object LabelPropagation {
       // (see PackedAdjacency / stepPlanPacked).
       val symCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
       val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
-      val packed = graft.graph.PackedAdjacency.build(symDf, "src", weighted)
+      val packed = graft.graph.PackedAdjacency.build(symDf, "src", weighted,
+        deferCacheIfHubFree = indexedState)
       return runDriverState(edges.sparkSession, packed, init, maxIter,
         parityGating, weighted, indexedState)
     }

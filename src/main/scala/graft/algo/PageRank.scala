@@ -99,7 +99,8 @@ object PageRank {
           symDf.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
         else
           symDf.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
-      val packed = graft.graph.PackedAdjacency.build(symDf, "dst", cfg.weighted)
+      val packed = graft.graph.PackedAdjacency.build(symDf, "dst", cfg.weighted,
+        deferCacheIfHubFree = cfg.indexedState)
       val out = runDriverState(edges.sparkSession, packed, deg, v, cfg)
       packed.unpersist(); verts.unpersist()
       return out

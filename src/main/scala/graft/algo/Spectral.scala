@@ -1,7 +1,6 @@
 package graft.algo
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Edge
 import graft.graph.GraphOps
@@ -217,14 +216,17 @@ object Spectral {
           (sum(col("s") * bs) / (2.0 * m2)).as("dq"),
           sum(when(col("s") > 0.0, 1L).otherwise(0L)).as("npos"),
           sum(when(col("s") < 0.0, 1L).otherwise(0L)).as("nneg"))
-      // Rank candidate splits by gain; honor the community budget. The
-      // verdict table has one row per community — tiny; the single-partition
-      // window is on that table, never on vertex-scale data.
+      // Rank candidate splits by gain; honor the community budget.
+      // orderBy+limit plans as TakeOrderedAndProject — a distributed
+      // per-partition top-k merged on the driver, so even this per-community
+      // table never funnels through a single-partition WindowExec. The
+      // (dq desc, community asc) order is total, so the selected set is
+      // identical to the old row_number() <= budget ranking.
       val budget = (cfg.clusters - nComm).toInt
       val accepted = verdict
         .filter(col("dq") > cfg.tol && col("npos") > 0 && col("nneg") > 0)
-        .withColumn("rk", row_number().over(Window.orderBy(desc("dq"), asc("community"))))
-        .filter(col("rk") <= budget)
+        .orderBy(desc("dq"), asc("community"))
+        .limit(budget)
         .select(col("community"), lit(true).as("doSplit"))
       // Canonical relabel = min id per (community, sign-group). Round 3 did
       // this with min().over(Window.partitionBy(community, grp)) — a window

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * PackedAdjacency.build). `maxSegs == 1` means no vertex exceeded the
   * segment cap, so plan builders can skip the hub-combine branch
   * entirely. Caller owns the cache lifetime (unpersist()). */
-final case class PackedAdj(df: DataFrame, maxSegs: Int, weighted: Boolean) {
+final case class PackedAdj(df: DataFrame, maxSegs: Int, weighted: Boolean,
+                           degSum: Long = 0L) {
   def unpersist(): Unit = { df.unpersist(); () }
 }
 
@@ -76,52 +77,93 @@ object PackedAdjacency {
     * segment. This is the classic distributed CSR build; the in-partition
     * sort also hands every kernel a sorted neighbor array for free
     * (deterministic float accumulation order). */
+  /** `deferCacheIfHubFree`: when true AND the graph turns out hub-free
+    * (maxSegs == 1), the LONG-id packed table is NOT persisted — the caller
+    * promises to `reindex` immediately, and reindex's single scan both
+    * materializes the pack lineage and caches the INT-position table (half
+    * the footprint). Measured necessity: at 1.67e9 pre-assembly rows on
+    * 2x12 GB executors, caching the long-array table (13.4 GB) while the
+    * pack sort runs drove execution memory to zero; the int table (6.7 GB)
+    * fits. Hub graphs (maxSegs > 1) always cache, since the hash-kernel
+    * plans scan the long-id table every superstep. */
   def build(sym: DataFrame, key: String, weighted: Boolean = false,
-            segCap: Int = 1 << 20): PackedAdj = {
+            segCap: Int = 1 << 20, deferCacheIfHubFree: Boolean = false): PackedAdj = {
     val spark = sym.sparkSession
     import spark.implicits._
     val nbr = if (key == "src") "dst" else "src"
-    val nseg = sym.groupBy(col(key)).agg(count(lit(1)).as("d"))
+    val degAgg = sym.groupBy(col(key)).agg(count(lit(1)).as("d"))
+    // Stats come from the V-row degree frame, NOT from scanning the packed
+    // table afterwards (the old count()+max(nsegs) pair forced two full
+    // materializations of the pack): degSum = directed half-edge count
+    // (2E on a symmetrized input), maxSegs decides the hub branch before
+    // any caching policy is applied.
+    val st = degAgg.agg(
+      sum(col("d")),
+      max(ceil(col("d") / lit(segCap.toDouble)).cast("int"))).collect()(0)
+    val degSum = if (st.isNullAt(0)) 0L else st.getLong(0)
+    val maxSegs = if (st.isNullAt(1)) 1 else st.getInt(1)
+    val nseg = degAgg
       .select(col(key), ceil(col("d") / lit(segCap.toDouble)).cast("int").as("nsegs"))
-    val rows = sym.join(broadcast(nseg), Seq(key))
-      .select(col(key).as("id"),
+    val keyed = sym.join(broadcast(nseg), Seq(key))
+      .select((Seq(col(key).as("id"),
         pmod(xxhash64(col(nbr)), col("nsegs").cast("long")).as("seg"),
         col("nsegs"),
-        col(nbr).as("n"),
-        (if (weighted) col("weight").cast("double") else lit(0.0)).as("w"))
+        col(nbr).as("n")) ++
+        (if (weighted) Seq(col("weight").cast("double").as("w")) else Nil)): _*)
       .repartition(col("id"), col("seg"))
       .sortWithinPartitions("id", "seg", "n")
-      .as[NbrRow]
-    val w = weighted // serialize the flag, not the builder
-    val assembled = rows.mapPartitions { it =>
-      new Iterator[(Long, Int, Array[Long], Array[Double])] {
-        private val empty = Array.empty[Double]
-        private var cur: NbrRow = if (it.hasNext) it.next() else null
-        private val nb = new scala.collection.mutable.ArrayBuilder.ofLong
-        private val wb = new scala.collection.mutable.ArrayBuilder.ofDouble
-        override def hasNext: Boolean = cur != null
-        override def next(): (Long, Int, Array[Long], Array[Double]) = {
-          val id = cur.id
-          val seg = cur.seg
-          val ns = cur.nsegs
-          nb.clear()
-          if (w) wb.clear()
-          var go = true
-          while (go) {
-            nb += cur.n
-            if (w) wb += cur.w
-            cur = if (it.hasNext) it.next() else null
-            go = cur != null && cur.id == id && cur.seg == seg
+    // Two typed assembly branches so the UNWEIGHTED shuffle never carries a
+    // constant 0.0 weight column — at 1.67e9 pre-assembly rows that column
+    // alone is ~13 GB of shuffle spill for bytes the pack then discards.
+    val packed0 =
+      if (weighted)
+        keyed.as[NbrRow].mapPartitions { it =>
+          new Iterator[(Long, Int, Array[Long], Array[Double])] {
+            private var cur: NbrRow = if (it.hasNext) it.next() else null
+            private val nb = new scala.collection.mutable.ArrayBuilder.ofLong
+            private val wb = new scala.collection.mutable.ArrayBuilder.ofDouble
+            override def hasNext: Boolean = cur != null
+            override def next(): (Long, Int, Array[Long], Array[Double]) = {
+              val id = cur.id
+              val seg = cur.seg
+              val ns = cur.nsegs
+              nb.clear(); wb.clear()
+              var go = true
+              while (go) {
+                nb += cur.n
+                wb += cur.w
+                cur = if (it.hasNext) it.next() else null
+                go = cur != null && cur.id == id && cur.seg == seg
+              }
+              (id, ns, nb.result(), wb.result())
+            }
           }
-          (id, ns, nb.result(), if (w) wb.result() else empty)
-        }
-      }
-    }.toDF("id", "nsegs", "nbrs", "wts")
-    val packed0 = if (weighted) assembled else assembled.drop("wts")
-    val packed = packed0.persist()
-    packed.count()
-    val maxSegs = packed.agg(max("nsegs")).collect()(0).getInt(0)
-    PackedAdj(packed, maxSegs, weighted)
+        }.toDF("id", "nsegs", "nbrs", "wts")
+      else
+        keyed.as[NbrRowU].mapPartitions { it =>
+          new Iterator[(Long, Int, Array[Long])] {
+            private var cur: NbrRowU = if (it.hasNext) it.next() else null
+            private val nb = new scala.collection.mutable.ArrayBuilder.ofLong
+            override def hasNext: Boolean = cur != null
+            override def next(): (Long, Int, Array[Long]) = {
+              val id = cur.id
+              val seg = cur.seg
+              val ns = cur.nsegs
+              nb.clear()
+              var go = true
+              while (go) {
+                nb += cur.n
+                cur = if (it.hasNext) it.next() else null
+                go = cur != null && cur.id == id && cur.seg == seg
+              }
+              (id, ns, nb.result())
+            }
+          }
+        }.toDF("id", "nsegs", "nbrs")
+    val packed =
+      if (deferCacheIfHubFree && maxSegs == 1) packed0
+      else { val p = packed0.persist(); p.count(); p }
+    PackedAdj(packed, maxSegs, weighted, degSum)
   }
 
   /** Remap a hub-free (`maxSegs == 1`) packed adjacency to dense state
@@ -178,3 +220,6 @@ object PackedAdjacency {
   * neighbor, its weight (0 when unweighted). All-primitive fields so the
   * assembly scan deserializes without boxing. */
 private[graph] final case class NbrRow(id: Long, seg: Long, nsegs: Int, n: Long, w: Double)
+
+/** Unweighted twin of NbrRow — no weight column in the pack shuffle. */
+private[graph] final case class NbrRowU(id: Long, seg: Long, nsegs: Int, n: Long)
