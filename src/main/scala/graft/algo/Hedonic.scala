@@ -91,7 +91,16 @@ object Hedonic {
       // remapped once to state-array positions, per-round broadcast = the
       // bare values array. Decision-identical (shared kernel tails); kept
       // switchable for the hash-vs-index A/B the scaling evidence rests on.
-      indexedState: Boolean = true)
+      indexedState: Boolean = true,
+      // Pack-shuffle partition count (None = session shuffle partitions).
+      // Sizes the CSR build sort and the cache blocks (see
+      // PackedAdjacency.build).
+      packPartitions: Option[Int] = None,
+      // Iteration-cache partition count (None = pack-sort width). The
+      // superstep loop launches one task per cached partition every round
+      // and dispatch is driver-serial, so this should track executor
+      // cores (see PackedAdjacency.build's cachePartitions).
+      cachePartitions: Option[Int] = None)
 
   /** friends per (id, candidate community): one equi-join of the symmetrized
     * edges with membership on the neighbor endpoint, then a hash aggregate
@@ -349,14 +358,20 @@ object Hedonic {
       commArr: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]],
       sizeOf: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.StateMap.LongLongMap]],
       alpha: Double,
-      gate: org.apache.spark.sql.Column): DataFrame = {
+      gate: org.apache.spark.sql.Column,
+      emitPos: Boolean = false): DataFrame = {
     val wtsOpt = if (pidx.weighted) Some(col("wts")) else None
+    // emitPos: the driver-state loop keys its merge on the dense state
+    // POSITION (myIdx) so collected rows skip the id->index probe and can
+    // ride the primitive-array collect path. The gate stays on id — the
+    // parity decision is a function of the vertex id, not its position.
     pidx.df
-      .select(col("id"),
+      .select(col("id"), col("myIdx"),
         PackedKernels.hedonicDecideIdx(col("myIdx"), col("nbrs"), wtsOpt,
           commArr, sizeOf, alpha).as("bestComm"))
       .filter(col("bestComm").isNotNull)
-      .select(col("id"), col("bestComm"), gate.as("doMove"))
+      .select(if (emitPos) col("myIdx") else col("id"),
+        col("bestComm"), gate.as("doMove"))
   }
 
   /** M4 one-pass hedonic improvement at alpha = 0 (reference
@@ -466,7 +481,8 @@ object Hedonic {
       val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
       val packed = graft.graph.PackedAdjacency.build(
         GraphOps.symmetrize(edges).select(symCols.map(col): _*), "src",
-        weighted = cfg.weighted, deferCacheIfHubFree = cfg.indexedState)
+        weighted = cfg.weighted, deferCacheIfHubFree = cfg.indexedState,
+        partitions = cfg.packPartitions, cachePartitions = cfg.cachePartitions)
       val edgeCount = packed.degSum
       return runDriverState(edges, packed, startMembers, startStep, a, edgeCount, cfg, ckpt)
     }
@@ -604,9 +620,29 @@ object Hedonic {
         Some(pidx)
       } else None
     val stepDf = pidxOpt match {
-      case Some(pidx) => stepPlanPackedIdx(pidx, commArrR, sizeR, alpha, gate)
-      case None       => stepPlanPacked(packed, commR, sizeR, alpha, gate)
+      case Some(pidx) =>
+        stepPlanPackedIdx(pidx, commArrR, sizeR, alpha, gate, emitPos = true)
+      case None => stepPlanPacked(packed, commR, sizeR, alpha, gate)
     }
+    // Indexed path: collect wanter rows as per-partition PRIMITIVE arrays
+    // (position, bestComm, doMove) straight off the codegen'd InternalRow
+    // iterator — the Row-based DataFrame.collect deserializes and boxes
+    // every row serially on the driver, a per-superstep cost that does not
+    // shrink with cluster size. toRdd is built ONCE; each collect()
+    // re-serializes the task closure, so the Ref-carried broadcast handles
+    // are picked up per round exactly as with DataFrame.collect.
+    val fastRdd =
+      if (useIdx) Some(stepDf.queryExecution.toRdd.mapPartitions { it =>
+        val pb = new scala.collection.mutable.ArrayBuilder.ofInt
+        val cb = new scala.collection.mutable.ArrayBuilder.ofLong
+        val mb = new scala.collection.mutable.ArrayBuilder.ofBoolean
+        while (it.hasNext) {
+          val r = it.next()
+          pb += r.getInt(0); cb += r.getLong(1); mb += r.getBoolean(2)
+        }
+        Iterator.single((pb.result(), cb.result(), mb.result()))
+      })
+      else None
     var metrics = Vector.empty[RunMetrics]
     var superstep = startStep
     var converged = false
@@ -626,30 +662,56 @@ object Hedonic {
       sizeR.value = sc.broadcast(StateMap.longLong(sizeMap))
       roundR.value = Integer.valueOf(superstep)
       val tLocal = System.nanoTime()
-      val rows = stepDf.collect()
-      if (useIdx) commArrR.value.destroy() else commR.value.destroy()
-      sizeR.value.destroy()
-      val tJob = System.nanoTime()
       // Every collected row is a wanter (wants = true pre-filtered in-plan);
       // doMove carries the gate. Non-wanters change nothing and are not
       // collected — identical counters and state to the old full collect.
       var wanted = 0L
       var moved = 0L
-      var k = 0
-      while (k < rows.length) {
-        val r = rows(k)
-        idx.get(r.getLong(0)) match { // ids outside the state table drop, as before
-          case Some(at) =>
-            wanted += 1
-            if (r.getBoolean(2)) { moved += 1; comms(at) = r.getLong(1) }
-          case None => ()
-        }
-        k += 1
+      var nRows = 0L
+      var tJob = 0L
+      fastRdd match {
+        case Some(rdd) =>
+          val parts = rdd.collect()
+          commArrR.value.destroy()
+          sizeR.value.destroy()
+          tJob = System.nanoTime()
+          var p = 0
+          while (p < parts.length) {
+            val (pos, cs, mv) = parts(p)
+            nRows += pos.length
+            var k = 0
+            while (k < pos.length) {
+              val at = pos(k)
+              if (at >= 0) { // positions outside the state table drop, as before
+                wanted += 1
+                if (mv(k)) { moved += 1; comms(at) = cs(k) }
+              }
+              k += 1
+            }
+            p += 1
+          }
+        case None =>
+          val rows = stepDf.collect()
+          commR.value.destroy()
+          sizeR.value.destroy()
+          tJob = System.nanoTime()
+          nRows = rows.length
+          var k = 0
+          while (k < rows.length) {
+            val r = rows(k)
+            idx.get(r.getLong(0)) match { // ids outside the state table drop
+              case Some(at) =>
+                wanted += 1
+                if (r.getBoolean(2)) { moved += 1; comms(at) = r.getLong(1) }
+              case None => ()
+            }
+            k += 1
+          }
       }
       if (timing) System.err.println(
         f"stepTiming ss=$superstep sizes=${(tSizes - t0) / 1e6}%.0f " +
         f"local=${(tLocal - tSizes) / 1e6}%.0f job=${(tJob - tLocal) / 1e6}%.0f " +
-        f"merge=${(System.nanoTime() - tJob) / 1e6}%.0f rows=${rows.length}")
+        f"merge=${(System.nanoTime() - tJob) / 1e6}%.0f rows=$nRows")
       val pot = if (cfg.trackPotential) potential(edges, stateDF, alpha) else Double.NaN
       val wallMs = (System.nanoTime() - t0) / 1000000
       metrics :+= RunMetrics(superstep, moved, pot, wanted, edgeCount, wallMs)

@@ -69,7 +69,12 @@ object PageRank {
       // one PRE-DIVIDED rank/deg array per round (one read per edge
       // instead of two hash probes), weighted ones a rank array against a
       // once-broadcast strength array. Bitwise-identical sums.
-      indexedState: Boolean = true)
+      indexedState: Boolean = true,
+      // Pack-shuffle partition count (None = session shuffle partitions);
+      // see Hedonic.Config.packPartitions.
+      packPartitions: Option[Int] = None,
+      // Iteration-cache partition count (see Hedonic.Config.cachePartitions).
+      cachePartitions: Option[Int] = None)
 
   def run(edges: Dataset[Edge], cfg: Config = Config(),
           verticesOpt: Option[DataFrame] = None): DataFrame =
@@ -100,7 +105,8 @@ object PageRank {
         else
           symDf.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
       val packed = graft.graph.PackedAdjacency.build(symDf, "dst", cfg.weighted,
-        deferCacheIfHubFree = cfg.indexedState)
+        deferCacheIfHubFree = cfg.indexedState, partitions = cfg.packPartitions,
+        cachePartitions = cfg.cachePartitions)
       val out = runDriverState(edges.sparkSession, packed, deg, v, cfg)
       packed.unpersist(); verts.unpersist()
       return out
@@ -217,11 +223,29 @@ object PageRank {
         Some(pidx)
       } else None
     val iterDf = pidxOpt match {
-      case Some(pidx) => iterPlanPackedIdx(pidx, qR, degArrROpt, v, cfg)
+      case Some(pidx) => iterPlanPackedIdx(pidx, qR, degArrROpt, v, cfg, emitPos = true)
       case None       => iterPlanPacked(packed, rankR, degR, v, cfg)
     }
+    // Indexed path: V rows come back per iteration — collect them as
+    // per-partition PRIMITIVE (position, rank) arrays straight off the
+    // codegen'd InternalRow iterator instead of boxed Rows (the Row
+    // decode is driver-serial and does not shrink with cluster size).
+    // Built once; each collect() re-serializes the closure so the
+    // Ref-carried broadcast handles are fresh per round.
+    val fastRdd =
+      if (useIdx) Some(iterDf.queryExecution.toRdd.mapPartitions { it =>
+        val pb = new scala.collection.mutable.ArrayBuilder.ofInt
+        val rb = new scala.collection.mutable.ArrayBuilder.ofDouble
+        while (it.hasNext) {
+          val r = it.next()
+          pb += r.getInt(0); rb += r.getDouble(1)
+        }
+        Iterator.single((pb.result(), rb.result()))
+      })
+      else None
     var ranks = Array.fill(n)(1.0 / v)
     val nIter = cfg.fixedIter.getOrElse(cfg.maxIter)
+    val timing = sys.env.get("SPARK_GRAFT_STEP_TIMING").exists(_.toBoolean)
     var iter = 0
     var done = false
     while (!done && iter < nIter) {
@@ -239,19 +263,48 @@ object PageRank {
           }
         qR.value = sc.broadcast(q)
       } else rankR.value = sc.broadcast(StateMap.longDouble(ids, ranks, n))
-      val rows = iterDf.collect()
-      if (useIdx) qR.value.destroy() else rankR.value.destroy()
+      val tLocal = System.nanoTime()
       val next = ranks.clone() // min-degree-1: every vertex receives a row
       var delta = 0.0
-      var k = 0
-      while (k < rows.length) {
-        val at = idx(rows(k).getLong(0))
-        val nr = rows(k).getDouble(1)
-        delta += math.abs(nr - ranks(at))
-        next(at) = nr
-        k += 1
+      var nRows = 0L
+      var tJob = 0L
+      fastRdd match {
+        case Some(rdd) =>
+          val parts = rdd.collect()
+          qR.value.destroy()
+          tJob = System.nanoTime()
+          var p = 0
+          while (p < parts.length) {
+            val (pos, rs) = parts(p)
+            nRows += pos.length
+            var k = 0
+            while (k < pos.length) {
+              val at = pos(k)
+              delta += math.abs(rs(k) - ranks(at))
+              next(at) = rs(k)
+              k += 1
+            }
+            p += 1
+          }
+        case None =>
+          val rows = iterDf.collect()
+          rankR.value.destroy()
+          tJob = System.nanoTime()
+          nRows = rows.length
+          var k = 0
+          while (k < rows.length) {
+            val at = idx(rows(k).getLong(0))
+            val nr = rows(k).getDouble(1)
+            delta += math.abs(nr - ranks(at))
+            next(at) = nr
+            k += 1
+          }
       }
       ranks = next
+      if (timing) System.err.println(
+        f"prIterTiming it=$iter local=${(tLocal - t0) / 1e6}%.0f " +
+        f"job=${(tJob - tLocal) / 1e6}%.0f " +
+        f"merge=${(System.nanoTime() - tJob) / 1e6}%.0f rows=$nRows")
       if (cfg.fixedIter.isEmpty) done = delta < cfg.tol
       iterMs += (System.nanoTime() - t0) / 1000000
       iter += 1
@@ -347,16 +400,18 @@ object PageRank {
   private[graft] def iterPlanPackedIdx(pidx: graft.graph.PackedIdxAdj,
       qR: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]],
       degArrR: Option[graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]]],
-      v: Double, cfg: Config): DataFrame = {
+      v: Double, cfg: Config, emitPos: Boolean = false): DataFrame = {
     val newRank =
       lit((1.0 - cfg.damping) / v) +
         lit(cfg.damping) * (coalesce(col("s"), lit(0.0)) + lit(0.0))
     val wcol = if (pidx.weighted) Some(col("wts")) else None
+    // emitPos: the driver-state loop keys its merge on the dense state
+    // POSITION (myIdx) — no id->index probe, primitive-array collect.
     pidx.df
-      .select(col("id"),
+      .select(col("id"), col("myIdx"),
         PackedKernels.prContribIdx(col("nbrs"), wcol, qR, degArrR).as("s"))
       .filter(col("s").isNotNull)
-      .select(col("id"), newRank.as("rank"))
+      .select(if (emitPos) col("myIdx") else col("id"), newRank.as("rank"))
   }
 
   /** Top-k vertices by rank (SURVEY.md §2.6 addition). */

@@ -86,8 +86,27 @@ object PackedAdjacency {
     * pack sort runs drove execution memory to zero; the int table (6.7 GB)
     * fits. Hub graphs (maxSegs > 1) always cache, since the hash-kernel
     * plans scan the long-id table every superstep. */
+  /** `partitions`: pack-shuffle output count (defaults to the session's
+    * shuffle partitions). This sizes the SORT tasks — keep it data-sized;
+    * shrinking it to per-core counts made each in-partition sort huge and
+    * slow (build 208 s -> 385 s measured at 12 partitions / 4 cores). Use
+    * `cachePartitions` below to size what the iteration loop scans. */
+  /** `cachePartitions`: re-exchange the ASSEMBLED pack (V rows, hash on
+    * id) down to a cluster-sized partition count before it is cached. The
+    * iteration loop launches one task per cached partition EVERY round and
+    * task dispatch is driver-serial (~4-5 ms each measured on 4x1-core
+    * executor JVMs: 64 tasks = ~0.3 s/round against 0.29 s of compute), so
+    * cache granularity should track executor cores, not the E-row
+    * extraction partitioning. A narrow coalesce can NOT do this job: below
+    * the cache it collapses the pack sort to the same width (build 208 s ->
+    * 385 s measured); above it, CoalesceExec rejects columnar input and
+    * forces an interpreted ColumnarToRow outside whole-stage codegen (4-9 s
+    * of extra CPU per round measured). The extra exchange moves only the
+    * packed rows (~8 B/edge) and is amortized over all supersteps. */
   def build(sym: DataFrame, key: String, weighted: Boolean = false,
-            segCap: Int = 1 << 20, deferCacheIfHubFree: Boolean = false): PackedAdj = {
+            segCap: Int = 1 << 20, deferCacheIfHubFree: Boolean = false,
+            partitions: Option[Int] = None,
+            cachePartitions: Option[Int] = None): PackedAdj = {
     val spark = sym.sparkSession
     import spark.implicits._
     val nbr = if (key == "src") "dst" else "src"
@@ -110,7 +129,9 @@ object PackedAdjacency {
         col("nsegs"),
         col(nbr).as("n")) ++
         (if (weighted) Seq(col("weight").cast("double").as("w")) else Nil)): _*)
-      .repartition(col("id"), col("seg"))
+      .repartition(partitions.getOrElse(
+        sym.sparkSession.sessionState.conf.numShufflePartitions),
+        col("id"), col("seg"))
       .sortWithinPartitions("id", "seg", "n")
     // Two typed assembly branches so the UNWEIGHTED shuffle never carries a
     // constant 0.0 weight column — at 1.67e9 pre-assembly rows that column
@@ -160,9 +181,10 @@ object PackedAdjacency {
             }
           }
         }.toDF("id", "nsegs", "nbrs")
+    val packed1 = cachePartitions.fold(packed0)(n => packed0.repartition(n, col("id")))
     val packed =
-      if (deferCacheIfHubFree && maxSegs == 1) packed0
-      else { val p = packed0.persist(); p.count(); p }
+      if (deferCacheIfHubFree && maxSegs == 1) packed1
+      else { val p = packed1.persist(); p.count(); p }
     PackedAdj(packed, maxSegs, weighted, degSum)
   }
 
