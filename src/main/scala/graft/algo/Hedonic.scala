@@ -458,10 +458,19 @@ object Hedonic {
   }
 
   /** Run to equilibrium. Returns (final members, per-superstep metrics). */
+  /** `packedOpt`: a caller-built CSR pack of the SYMMETRIZED edge table
+    * (either key — the symmetric edge set makes src- and dst-packs
+    * identical), honored on the broadcast-state path. A pipeline running
+    * several algorithms on one graph packs ONCE and shares it — the pack's
+    * E-row shuffle+sort is the dominant one-time cost at every scale and
+    * there is no reason to pay it per algorithm. The caller owns the
+    * cache lifetime (run() will not unpersist a prebuilt pack); its
+    * `weighted` flag must match cfg.weighted. */
   def run(
       edges: Dataset[Edge],
       init: DataFrame,
-      cfg: Config = Config()): (DataFrame, Seq[RunMetrics]) = {
+      cfg: Config = Config(),
+      packedOpt: Option[graft.graph.PackedAdj] = None): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
     val a = cfg.alpha.getOrElse(GraphOps.density(edges))
     val stateRows = init.count()
@@ -478,13 +487,18 @@ object Hedonic {
       // Broadcast-state strategy iterates over the CSR-packed adjacency
       // (one build-time shuffle, then V-row supersteps — see
       // PackedAdjacency / stepPlanPacked).
-      val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
-      val packed = graft.graph.PackedAdjacency.build(
-        GraphOps.symmetrize(edges).select(symCols.map(col): _*), "src",
-        weighted = cfg.weighted, deferCacheIfHubFree = cfg.indexedState,
-        partitions = cfg.packPartitions, cachePartitions = cfg.cachePartitions)
+      packedOpt.foreach(p => require(p.weighted == cfg.weighted,
+        s"prebuilt pack weighted=${p.weighted} but cfg.weighted=${cfg.weighted}"))
+      val packed = packedOpt.getOrElse {
+        val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+        graft.graph.PackedAdjacency.build(
+          GraphOps.symmetrize(edges).select(symCols.map(col): _*), "src",
+          weighted = cfg.weighted, deferCacheIfHubFree = cfg.indexedState,
+          partitions = cfg.packPartitions, cachePartitions = cfg.cachePartitions)
+      }
       val edgeCount = packed.degSum
-      return runDriverState(edges, packed, startMembers, startStep, a, edgeCount, cfg, ckpt)
+      return runDriverState(edges, packed, startMembers, startStep, a, edgeCount, cfg,
+        ckpt, ownsPack = packedOpt.isEmpty)
     }
 
     // Shuffle path: cached pre-partitioned on dst (the gather JOIN key);
@@ -549,7 +563,8 @@ object Hedonic {
       alpha: Double,
       edgeCount: Long,
       cfg: Config,
-      ckpt: Option[Checkpoint]): (DataFrame, Seq[RunMetrics]) = {
+      ckpt: Option[Checkpoint],
+      ownsPack: Boolean = true): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val init0 = startMembers.select("id", "community").collect()
@@ -616,7 +631,9 @@ object Hedonic {
         // unpersist, not destroy: a lost cache partition re-runs the remap
         // lineage, which still needs the broadcast re-shippable.
         idxB.unpersist()
-        packed.unpersist() // the id-based cache is dead once the remap is live
+        // the id-based cache is dead once the remap is live — unless the
+        // caller shared it (another algorithm's reindex still needs it).
+        if (ownsPack) packed.unpersist()
         Some(pidx)
       } else None
     val stepDf = pidxOpt match {
@@ -726,7 +743,7 @@ object Hedonic {
     }
     pidxOpt match {
       case Some(pidx) => pidx.unpersist()
-      case None       => packed.unpersist()
+      case None       => if (ownsPack) packed.unpersist()
     }
     (stateDF, metrics)
   }

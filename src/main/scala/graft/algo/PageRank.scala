@@ -83,11 +83,31 @@ object PageRank {
   /** run() plus per-iteration wall-clock millis, so benchmarks can report
     * setup (vertex/degree/adjacency build) and iteration throughput as
     * separate phases — the build is one-time and amortizes over
-    * iterations; lumping it into the rate hides what actually scales. */
+    * iterations; lumping it into the rate hides what actually scales.
+    *
+    * `packedOpt`: a caller-built CSR pack of the SYMMETRIZED edges (see
+    * Hedonic.run — src- and dst-packs are identical on a symmetric edge
+    * set), honored on the broadcast-state path. Pack once, run hedonic +
+    * PageRank + LPA: the degree table is then derived from the cached
+    * V-row pack (size(nbrs) / sum(wts)) instead of a second E-row
+    * aggregate. Caller owns the pack's cache lifetime; its `weighted`
+    * flag must match cfg.weighted. */
   def runTimed(edges: Dataset[Edge], cfg: Config = Config(),
-          verticesOpt: Option[DataFrame] = None): (DataFrame, Seq[Long]) = {
-    val verts = verticesOpt.getOrElse(GraphOps.vertices(edges)).select("id").persist()
-    val v = verts.count().toDouble
+          verticesOpt: Option[DataFrame] = None,
+          packedOpt: Option[graft.graph.PackedAdj] = None): (DataFrame, Seq[Long]) = {
+    // With a prebuilt pack the vertex count comes off the cached V-row
+    // pack (distinct over ids — multi-segment hubs repeat) instead of a
+    // 2E-row distinct over the raw edges.
+    val vertsOpt = packedOpt match {
+      case Some(_) if verticesOpt.isEmpty => None
+      case _ =>
+        val vt = verticesOpt.getOrElse(GraphOps.vertices(edges)).select("id").persist()
+        Some(vt)
+    }
+    val v = vertsOpt match {
+      case Some(vt) => vt.count().toDouble
+      case None     => packedOpt.get.df.select("id").distinct().count().toDouble
+    }
     // Explicit vertex tables may contain dangling vertices, whose left-join
     // handling needs the co-partitioned path; broadcast-state covers the
     // engine's common case (edge-derived vertex set, min degree 1).
@@ -97,21 +117,45 @@ object PageRank {
       // Broadcast-state strategy iterates over the CSR-packed in-neighbor
       // lists (one build-time shuffle, then V-row iterations — see
       // PackedAdjacency / iterPlanPacked).
-      val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
-      val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
-      val deg =
-        if (cfg.weighted)
-          symDf.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
-        else
-          symDf.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
-      val packed = graft.graph.PackedAdjacency.build(symDf, "dst", cfg.weighted,
-        deferCacheIfHubFree = cfg.indexedState, partitions = cfg.packPartitions,
-        cachePartitions = cfg.cachePartitions)
-      val out = runDriverState(edges.sparkSession, packed, deg, v, cfg)
-      packed.unpersist(); verts.unpersist()
+      packedOpt.foreach(p => require(p.weighted == cfg.weighted,
+        s"prebuilt pack weighted=${p.weighted} but cfg.weighted=${cfg.weighted}"))
+      val (packed, deg) = packedOpt match {
+        case Some(p) =>
+          // Degrees off the cached V-row pack (multi-segment hub vertices
+          // contribute one row per segment, hence the groupBy).
+          val d =
+            if (cfg.weighted)
+              p.df.groupBy(col("id")).agg(
+                sum(aggregate(col("wts"), lit(0.0),
+                  (acc, x) => acc + x)).as("deg"))
+            else
+              p.df.groupBy(col("id")).agg(
+                sum(size(col("nbrs"))).cast("double").as("deg"))
+          (p, d)
+        case None =>
+          val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+          val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
+          val d =
+            if (cfg.weighted)
+              symDf.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
+            else
+              symDf.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
+          (graft.graph.PackedAdjacency.build(symDf, "dst", cfg.weighted,
+            deferCacheIfHubFree = cfg.indexedState, partitions = cfg.packPartitions,
+            cachePartitions = cfg.cachePartitions), d)
+      }
+      val out = runDriverState(edges.sparkSession, packed, deg, v, cfg,
+        ownsPack = packedOpt.isEmpty)
+      if (packedOpt.isEmpty) packed.unpersist()
+      vertsOpt.foreach(_.unpersist())
       return out
     }
     val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Over-budget V with a prebuilt pack: the shuffle path ignores the
+    // pack, so the vertex table is derived here after all.
+    val verts = vertsOpt.getOrElse {
+      val vt = GraphOps.vertices(edges).select("id").persist(); vt.count(); vt
+    }
 
     // Shuffle path: cached pre-partitioned on src (the join key); only the
     // V-row rank side re-exchanges per iteration.
@@ -181,7 +225,7 @@ object PageRank {
     * set (min degree 1). */
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
       packed: graft.graph.PackedAdj, deg: DataFrame, v: Double,
-      cfg: Config): (DataFrame, Seq[Long]) = {
+      cfg: Config, ownsPack: Boolean = true): (DataFrame, Seq[Long]) = {
     import spark.implicits._
     val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val vd = deg.collect()
@@ -219,7 +263,8 @@ object PageRank {
         val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
         val pidx = graft.graph.PackedAdjacency.reindex(packed, idxB)
         idxB.unpersist()
-        packed.unpersist()
+        // shared packs stay cached for the caller's other algorithms
+        if (ownsPack) packed.unpersist()
         Some(pidx)
       } else None
     val iterDf = pidxOpt match {

@@ -51,6 +51,9 @@ for WORKERS in $WORKERS_LIST; do
     | grep -o '{"cpus".*}' | tee "$OUT/cluster_$WORKERS.json"
 done
 set -- $WORKERS_LIST
+# Single-leg runs (probes) have nothing to compare — and "$2" would trip
+# `set -u`.
+if [ $# -lt 2 ]; then exit 0; fi
 python3 - "$OUT" "$1" "$2" "$CPW" <<'EOF'
 import json, sys, pathlib
 out = pathlib.Path(sys.argv[1])
@@ -64,5 +67,12 @@ for metric in ("hedonic_edges_per_sec", "hedonic_iter_edges_per_sec",
         sp = b[metric] / a[metric]
         print(f"{metric}: N({la}x{cpw})={a[metric]:.0f}/s "
               f"4N({lb}x{cpw})={b[metric]:.0f}/s "
+              f"speedup={sp:.2f}x efficiency={sp/ratio:.2f}")
+# Build phases scale differently from iterations (shuffle-bound one-time
+# cost); report them alongside so the table in BASELINE.md is one paste.
+for phase in ("hedonic_build_sec", "pagerank_build_sec"):
+    if a.get(phase, 0) and b.get(phase, 0):
+        sp = a[phase] / b[phase]
+        print(f"{phase}: N={a[phase]:.1f}s 4N={b[phase]:.1f}s "
               f"speedup={sp:.2f}x efficiency={sp/ratio:.2f}")
 EOF
