@@ -56,11 +56,16 @@ object LabelPropagation {
       .withColumn("wants", col("bestLabel") =!= col("label"))
   }
 
+  /** `packedOpt`: a caller-built CSR pack of the symmetrized edges (see
+    * Hedonic.run — pack once, run hedonic + PageRank + LPA), honored on
+    * the broadcast-state path; caller owns the cache lifetime and the
+    * `weighted` flags must match. */
   def run(edges: Dataset[Edge], initOpt: Option[DataFrame] = None,
           maxIter: Int = 30, parityGating: Boolean = true,
           weighted: Boolean = false,
           broadcastStateMaxRows: Long = 4000000L,
-          indexedState: Boolean = true): DataFrame = {
+          indexedState: Boolean = true,
+          packedOpt: Option[graft.graph.PackedAdj] = None): DataFrame = {
     val init = initOpt
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
@@ -68,12 +73,16 @@ object LabelPropagation {
     if (bcast) {
       // Broadcast-state strategy iterates over the CSR-packed adjacency
       // (see PackedAdjacency / stepPlanPacked).
-      val symCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
-      val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
-      val packed = graft.graph.PackedAdjacency.build(symDf, "src", weighted,
-        deferCacheIfHubFree = indexedState)
+      packedOpt.foreach(p => require(p.weighted == weighted,
+        s"prebuilt pack weighted=${p.weighted} but weighted=$weighted"))
+      val packed = packedOpt.getOrElse {
+        val symCols = if (weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+        val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
+        graft.graph.PackedAdjacency.build(symDf, "src", weighted,
+          deferCacheIfHubFree = indexedState)
+      }
       return runDriverState(edges.sparkSession, packed, init, maxIter,
-        parityGating, weighted, indexedState)
+        parityGating, weighted, indexedState, ownsPack = packedOpt.isEmpty)
     }
     // Shuffle path: cached pre-partitioned on dst (the join key); only the
     // V-row label side re-exchanges per round.
@@ -191,7 +200,7 @@ object LabelPropagation {
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
       packed: graft.graph.PackedAdj, init: DataFrame, maxIter: Int,
       parityGating: Boolean, weighted: Boolean,
-      indexedState: Boolean = true): DataFrame = {
+      indexedState: Boolean = true, ownsPack: Boolean = true): DataFrame = {
     import spark.implicits._
     val init0 = init.collect()
     val n = init0.length
@@ -222,7 +231,8 @@ object LabelPropagation {
         val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
         val pidx = graft.graph.PackedAdjacency.reindex(packed, idxB)
         idxB.unpersist()
-        packed.unpersist()
+        // shared packs stay cached for the caller's other algorithms
+        if (ownsPack) packed.unpersist()
         Some(pidx)
       } else None
     val stepDf = pidxOpt match {
@@ -256,7 +266,7 @@ object LabelPropagation {
     }
     pidxOpt match {
       case Some(pidx) => pidx.unpersist()
-      case None       => packed.unpersist()
+      case None       => if (ownsPack) packed.unpersist()
     }
     (0 until n).map(k => (ids(k), labs(k))).toDF("id", "label")
   }

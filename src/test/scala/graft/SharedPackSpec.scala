@@ -1,6 +1,6 @@
 package graft
 
-import graft.algo.{Hedonic, PageRank}
+import graft.algo.{Hedonic, LabelPropagation, PageRank}
 import graft.graph.{GraphOps, PackedAdjacency}
 
 /** Pack-once, run-many: a caller-built CSR pack of the symmetrized edges is
@@ -25,7 +25,13 @@ class SharedPackSpec extends SparkSpec {
     val ownHM = toMap(ownH)
     val ownP = PageRank.run(e, cfgP)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ownL = toMap(LabelPropagation.run(e)) // toMap is positional (id, label)
 
+    // The own-pack runs above must precede the shared build: Spark's
+    // CacheManager keys entries by canonicalized plan, so an own-pack run
+    // over the identical plan would evict the shared entry on ITS
+    // unpersist. (Real pipelines share the PackedAdj instance instead of
+    // rebuilding an identical plan, so this aliasing is test-only.)
     val pack = PackedAdjacency.build(
       GraphOps.symmetrize(e).select("src", "dst"), "src")
     val (shH, shMet) = Hedonic.run(e, init, cfgH, packedOpt = Some(pack))
@@ -36,6 +42,10 @@ class SharedPackSpec extends SparkSpec {
     val shP = shPdf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pack.df.storageLevel.useMemory,
       "shared pack was unpersisted by PageRank.runTimed")
+    val shL = toMap(LabelPropagation.run(e, packedOpt = Some(pack)))
+    assert(pack.df.storageLevel.useMemory,
+      "shared pack was unpersisted by LabelPropagation.run")
+    assert(shL == ownL)
 
     assert(toMap(shH) == ownHM)
     assert(shMet.map(m => (m.superstep, m.moved, m.frontier)) ==
