@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through UNPREFIXED: sbt's default
+// LoggedOutput wraps the child's stdout as "[info] {...}", which breaks
+// any line-oriented JSON consumer of `sbt runMain` output (Bench emits
+// its result as one stdout JSON line). StdoutOutput inherits the parent
+// streams directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,7 +90,15 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // sf as a NUMBER per the driver's schema ({"sf":0.1}); the raw dir
+    // stays in sf_dir. Rounds 1-3 all came back "parsed": null, so the
+    // line is also mirrored to stderr as a belt-and-braces copy.
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    println(line)
+    System.err.println(line)
     spark.stop()
   }
 }
