@@ -478,6 +478,24 @@ object Oracles {
            round(sum(value), 6) AS total_value
     FROM events GROUP BY 1, 2"""
 
+  /** Batch-degenerate streaming dedup (EventStream.dedupStream): earliest
+    * synthetic event time per sha256(text) — ts = timestamp_seconds(doc_id)
+    * is monotone in doc_id, so ORDER BY doc_id replays the tie-break
+    * exactly. The 5 planted repeats (doc_id + 1e6, same text, later ts)
+    * mirror the Spark query's union. */
+  val streamDedup: String = """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
+    )
+    SELECT doc_id, content_sha
+    FROM (SELECT doc_id, sha256(text) AS content_sha,
+                 row_number() OVER (PARTITION BY sha256(text)
+                                    ORDER BY doc_id) AS rn
+          FROM all_docs) t
+    WHERE rn = 1"""
+
   // ------------------------------------------------------ round-2 oracles
 
   /** Resolution spectrum (Metrics.resolutionSpectrum): equilibrium fraction

@@ -449,6 +449,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total_value"))
         .select(unix_timestamp(col("w.start")).as("window_start"),
           col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // Streaming exact dedup's batch-degenerate path (EventStream.dedupStream
+    // — the streaming form is dropDuplicatesWithinWatermark, pinned by
+    // MemoryStream specs): earliest-event-time row per sha256(text).
+    // documents has no natural duplicates, so 5 repeats are planted
+    // (doc_id + 1e6 → LATER synthetic ts, same text; mirrored in the
+    // oracle) — the query must keep every original and drop all five
+    // plants, so the row set carries information at every sf.
+    "q_stream_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val stamped = base.unionByName(planted)
+        .withColumn("ts", timestamp_seconds(col("doc_id")))
+      graft.streaming.EventStream.dedupStream(stamped)
+        .select(col("doc_id"), col("content_sha"))
     })
   )
 
@@ -498,6 +515,7 @@ object SparkEntry {
     "q_ann_topk" -> Oracles.annTopK,
     "q_ivf_topk" -> Oracles.ivfTopK,
     "q_events_window" -> Oracles.eventsWindow,
+    "q_stream_dedup" -> Oracles.streamDedup,
     // round-2 additions
     "q_pagerank_full" -> Oracles.pagerank(20),
     "q_spectrum" -> Oracles.spectrum,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming surface. The reference processes static snapshots
   * only (SURVEY.md §2.10 — no watermarks/event-time anywhere in it), so
@@ -63,6 +64,63 @@ object EventStream {
       .queryName(queryName)
       .outputMode("complete")
       .start()
+  }
+
+  /** Streaming exact dedup on content hash — the ingest-side twin of
+    * `Dedup.exact` (batch). Emits only the FIRST document seen per
+    * sha256(text); repeats arriving within the watermark horizon are
+    * dropped with BOUNDED state: `dropDuplicatesWithinWatermark` evicts a
+    * key's state once the watermark passes its event time, so state is
+    * O(docs per horizon), not O(all docs ever) — the property that keeps a
+    * continuous 100 TB/day ingest feasible where plain `dropDuplicates`
+    * (streaming) would grow state forever. Exactness contract: a repeat
+    * arriving AFTER its original's state was evicted passes through; the
+    * downstream batch `Dedup.exact` compaction catches those stragglers
+    * (standard lambda split, same as filesToPairDeltas).
+    *
+    * On a batch frame this degrades to hash-group + min — semantics
+    * identical to `Dedup.exactSurvivors` modulo the keep rule (first by
+    * event time here, min id there). */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes",
+                  textCol: String = "text", tsCol: String = "ts"): DataFrame = {
+    val keyed = docs.withColumn("content_sha", sha2(col(textCol), 256))
+    if (docs.isStreaming)
+      keyed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_sha")
+    else {
+      // batch fallback: earliest-ts row per hash (deterministic tie-break
+      // on the remaining columns via min(struct)).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("content_sha")
+        .orderBy(col(tsCol), col(textCol))
+      keyed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+  }
+
+  /** Running per-key stats via mapGroupsWithState — the custom-state
+    * primitive (KeyValueGroupedDataset) for accumulators Spark's built-in
+    * windowed aggs can't express: here a cumulative (count, sum) per
+    * event_type that survives across micro-batches and emits its running
+    * value every batch the key appears in (update output mode).
+    *
+    * State is one 16-byte tuple per distinct key — safe at any event
+    * volume as long as the KEY cardinality is bounded (event types,
+    * tenants, shards...). For unbounded keys use a timeout
+    * (GroupStateTimeout.ProcessingTimeTimeout) or the watermarked dedup
+    * above; this operator deliberately keeps NoTimeout because its
+    * intended keys are low-cardinality dimensions. */
+  def runningTypeStats(events: Dataset[(String, Double)]): Dataset[(String, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], st: GroupState[(Long, Double)]) =>
+          val (n0, s0) = st.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          st.update((n, s))
+          (key, n, s)
+      }
   }
 
   /** Production-shaped runner: append mode + watermark, so window state is

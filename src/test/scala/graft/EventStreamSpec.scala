@@ -63,4 +63,50 @@ class EventStreamSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)))
     assert(pairs.toSeq == Seq(("r1", "r2")))
   }
+
+  test("streaming dedup keeps the first doc per content hash within the watermark") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val q = EventStream.dedupStream(mem.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    // batch 1: two distinct texts plus an in-batch repeat
+    mem.addData((ts(0), "aaa"), (ts(1), "bbb"), (ts(2), "aaa"))
+    q.processAllAvailable()
+    // batch 2: a cross-batch repeat (within watermark) and one new text
+    mem.addData((ts(3), "bbb"), (ts(4), "ccc"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_test").select("text").as[String].collect().sorted
+    q.stop()
+    assert(out.toSeq == Seq("aaa", "bbb", "ccc"))
+  }
+
+  test("batch dedupStream keeps the earliest row per hash") {
+    import spark.implicits._
+    val docs = Seq((ts(5), "x"), (ts(1), "x"), (ts(2), "y")).toDF("ts", "text")
+    val kept = EventStream.dedupStream(docs)
+      .select("ts", "text").as[(Timestamp, String)].collect().toSet
+    assert(kept == Set((ts(1), "x"), (ts(2), "y")))
+  }
+
+  test("mapGroupsWithState running stats accumulate across micro-batches") {
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)](spark)
+    val q = EventStream.runningTypeStats(mem.toDS())
+      .toDF("event_type", "n", "total")
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    mem.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
+    q.processAllAvailable()
+    mem.addData(("click", 4.0))
+    q.processAllAvailable()
+    // update mode appends one row per key per batch it changed in; the
+    // LAST row per key is the cumulative state.
+    val last = spark.table("running_test")
+      .groupBy("event_type").agg(max(struct(col("n"), col("total"))).as("b"))
+      .select(col("event_type"), col("b.n"), col("b.total"))
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(last == Set(("click", 3L, 7.0), ("view", 1L, 5.0)))
+  }
 }
