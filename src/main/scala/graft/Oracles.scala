@@ -723,6 +723,56 @@ object Oracles {
     (1 to k).map(level).mkString(",\n")
   }
 
+  /** q_whedonic_full: full gated WEIGHTED hedonic run from the singleton
+    * partition on the thin graph — the engine's mandated co-occurrence
+    * graph is weighted, so the weighted path earns the same end-to-end
+    * replay as the unweighted one (q_hedonic_full). Mirrors
+    * Hedonic.Config.weighted: friendship mass = sum of edge weights (symw),
+    * strangers stay COUNT-based; same argmax tie-break and parity gate.
+    * Levels past convergence are identity, so any k at or above the
+    * engine's stopping round matches exactly. */
+  def whedonicFull(k: Int): String =
+    s"""WITH $thinCtes, $alphaCte,
+    wms0 AS (SELECT id, id AS community FROM verts),
+    ${whedonicLevelCtes(k, "w")}
+    SELECT id, community FROM wms$k"""
+
+  /** Weighted analog of hedonicLevelCtes: candidate mass from symw (wfriends)
+    * drives the payoff; friends counts still size the stranger term. */
+  private def whedonicLevelCtes(k: Int, p: String): String = {
+    def level(i: Int): String = {
+      val prev = s"${p}ms${i - 1}"
+      s"""
+    ${p}cand$i AS (
+      SELECT id, community, CAST(sum(f1) AS BIGINT) AS friends, sum(fw) AS wfriends FROM (
+        SELECT s.src AS id, m.community, 1 AS f1, s.weight AS fw
+        FROM symw s JOIN $prev m ON s.dst = m.id
+        UNION ALL
+        SELECT id, community, 0 AS f1, 0.0 AS fw FROM $prev
+      ) GROUP BY id, community),
+    ${p}size$i AS (SELECT community, CAST(count(*) AS BIGINT) AS csize FROM $prev GROUP BY community),
+    ${p}pay$i AS (
+      SELECT c.id, c.community,
+             c.wfriends * (1.0 - (SELECT a FROM alpha)) -
+               (s.csize - c.friends - (CASE WHEN c.community = m.community THEN 1 ELSE 0 END)) * (SELECT a FROM alpha) AS payoff,
+             (c.community = m.community) AS iscur
+      FROM ${p}cand$i c JOIN ${p}size$i s ON c.community = s.community JOIN $prev m ON c.id = m.id),
+    ${p}rk$i AS (
+      SELECT id, community, payoff, iscur,
+             row_number() OVER (PARTITION BY id
+               ORDER BY payoff DESC, iscur DESC, community ASC) AS rn,
+             max(CASE WHEN iscur THEN payoff END) OVER (PARTITION BY id) AS curp,
+             max(CASE WHEN iscur THEN community END) OVER (PARTITION BY id) AS curc
+      FROM ${p}pay$i),
+    ${p}ms$i AS (
+      SELECT id,
+             CAST(CASE WHEN payoff > curp AND ${gateSql("id", i - 1)}
+                       THEN community ELSE curc END AS BIGINT) AS community
+      FROM ${p}rk$i WHERE rn = 1)"""
+    }
+    (1 to k).map(level).mkString(",\n")
+  }
+
   /** q_sbm_recover: EXACT generator-replay oracle. GraphGen.sbm /
     * groundTruth / noisyPartition draw from the portable md5 family, so
     * the 3x20 planted graph (pIn .5, pOut .02, seed 11) and the 30%-noisy

@@ -434,6 +434,18 @@ object SparkEntry {
       next
     }),
 
+    // full gated WEIGHTED hedonic run from singletons on the thin graph —
+    // the mandated co-occurrence graph is weighted, so the weighted path
+    // gets the same end-to-end gated-fixpoint replay as q_hedonic_full
+    // (Oracles.whedonicFull; levels past convergence are identity).
+    "q_whedonic_full" -> ((s, dir) => {
+      val e = graphThin(s, dir)
+      val init = GraphOps.vertices(e).select(col("id"), col("id").as("community"))
+      val (members, _) = Hedonic.run(e, init,
+        Hedonic.Config(maxSupersteps = 60, weighted = true))
+      members
+    }),
+
     // triangle count on the THIN graph — tracks the degree-oriented
     // algorithm's throughput (q_triangles' near-complete part graph is the
     // degenerate ~1.7e8-triangle stress case, flat across rounds by design).
@@ -535,6 +547,10 @@ object SparkEntry {
     // round-3 additions: portable md5 hash family makes the randomized
     // scale paths and full gated iterative runs DuckDB-replicable
     "q_hedonic_full" -> Oracles.hedonicFull(32),
+    // 40 levels: the weighted run converges in 33-40 supersteps at sf0.01
+    // (vs 23 unweighted); post-convergence levels are identity, verified
+    // against a 48-level pyramid too.
+    "q_whedonic_full" -> Oracles.whedonicFull(40),
     "q_hedonic_frontier" -> Oracles.hedonicFrontier(40),
     "q_leiden_full" -> Oracles.leidenFull(30, 10),
     "q_leiden_refine" -> Oracles.leidenRefine,
