@@ -34,20 +34,35 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingle array from raw text (shared tokenizer). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
+  /** Shingle array from an ALREADY-MATERIALIZED token-array column.
+    * Spark's higher-order functions (`transform`) evaluate INTERPRETED
+    * (no doGenCode), and an interpreted lambda re-evaluates its argument
+    * subtree at every `element_at` — so `toks` must be a bound attribute
+    * (one array computed per row at a Project boundary), never an inline
+    * `tokens(text)` subtree. With the subtree inlined, each document paid
+    * ~3·(|toks|−n) regex tokenizations (measured 25 s per pass over 5,000
+    * sf0.1 docs — ~5 ms/doc); hoisted, the pass is sub-second. Same
+    * hoisting discipline as the minhash md5 (one per shingle, r3). */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
         .otherwise(array(array_join(toks, " "))))
-  }
+
+  /** Word n-gram shingle array from raw text (shared tokenizer).
+    * NOTE: only for one-shot column use — inside interpreted HOFs the
+    * tokenizer subtree is re-evaluated per element (see shinglesOfTokens);
+    * table-scale paths go through shingleTable, which hoists. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(TextOps.tokens(text), n)
 
   /** Exploded (id, shingle) table — the base relation for exact Jaccard
-    * and MinHash. */
+    * and MinHash. Tokens are materialized in their own projection first
+    * so the interpreted shingle lambda indexes a computed array. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(shinglesOfTokens(col("toks"), n)).as("sh"))
 
   /** Exact n-gram Jaccard pairs >= threshold over the CAPPED shingle
     * universe, via PREFIX-FILTERED candidate generation (the standard
