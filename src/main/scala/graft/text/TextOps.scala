@@ -75,19 +75,25 @@ object TextOps {
     * when nothing matches. N-gram/stopword-profile approach — pure columnar. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scores = langProfiles.toSeq.sortBy(_._1).map { case (code, markers) =>
-      val arr = array(markers.map(lit): _*)
+    val codes = langProfiles.keys.toSeq.sorted
+    // Argmax as array_max over (score, negRank) structs — a LINEAR
+    // expression tree. The previous when()-fold duplicated its whole
+    // accumulated subtree at every level (condition + else branch), so 5
+    // languages compiled ~2^5 copies of the tokenize+filter pipeline into
+    // one generated method: a flat ~10 s of Janino/JIT cost per plan at
+    // any data size. Struct comparison is field-ordered, so max = highest
+    // score, then highest negRank = smallest code index — the same
+    // ascending-code tie-break the fold had.
+    val scored = array(codes.zipWithIndex.map { case (code, i) =>
+      val arr = array(langProfiles(code).map(lit): _*)
       struct(
         size(filter(toks, tk => array_contains(arr, tk))).as("score"),
-        lit(code).as("code"))
-    }
-    // max over (score, code-desc?) -> want highest score, tie -> smallest
-    // code; encode as max of (score, negRank) then map back. Simpler: fold.
-    val best = scores.reduce { (a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a)
-    } // left-to-right fold over codes in ascending order keeps the first
-      // (smallest) code on ties.
-    when(best.getField("score") > 0, best.getField("code")).otherwise(lit("und"))
+        lit(-i).as("negRank"))
+    }: _*)
+    val best = array_max(scored)
+    val codeArr = array(codes.map(lit): _*)
+    when(best.getField("score") > 0,
+      element_at(codeArr, -best.getField("negRank") + 1)).otherwise(lit("und"))
   }
 
   /** Order-insensitive document fingerprint: sha256 of the sorted distinct
