@@ -445,6 +445,51 @@ object Oracles {
     JOIN sizes y ON idb = y.doc_id
     WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.4"""
 
+  /** Directed containment pairs |A∩B|/|A| >= 0.6 over the capped shingle
+    * universe — mirrors Dedup.containmentPairs (both directions, a <> b). */
+  val containmentPairs: String = s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT ida, idb, round(i * 1.0 / x.sz, 6) AS containment
+    FROM inter
+    JOIN sizes x ON ida = x.doc_id
+    WHERE i * 1.0 / x.sz >= 0.6"""
+
+  /** Winnowing fingerprints (k=3, w=4) — mirrors Dedup.winnowFingerprints:
+    * positional trigrams, 40-bit portable md5 gram hashes, min per 4-hash
+    * window, distinct minima; docs with fewer than 4 grams keep the global
+    * minimum. */
+  val winnowFp: String = s"""WITH $toksCte,
+    tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+    gram AS (
+      SELECT a.doc_id, a.i AS pos, a.w || ' ' || b.w || ' ' || c.w AS g
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+      UNION ALL
+      SELECT doc_id, 1 AS pos, list_aggregate(t, 'string_agg', ' ') AS g
+      FROM toks WHERE len(t) < 3),
+    gh AS (SELECT doc_id, pos,
+                  ('0x' || substr(md5('wn:' || g), 1, 10))::BIGINT AS h FROM gram),
+    cnt AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+    wins AS (
+      SELECT a.doc_id, a.pos, min(b.h) AS fp
+      FROM gh a
+      JOIN cnt c ON a.doc_id = c.doc_id AND a.pos <= c.n - 3
+      JOIN gh b ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+      WHERE c.n >= 4
+      GROUP BY a.doc_id, a.pos),
+    small AS (
+      SELECT g.doc_id, min(g.h) AS fp
+      FROM gh g JOIN cnt c ON g.doc_id = c.doc_id
+      WHERE c.n < 4 GROUP BY g.doc_id)
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id, fp FROM wins
+      UNION ALL SELECT doc_id, fp FROM small) u"""
+
   /** Exact cosine near-dup pairs >= 0.4 over the DETERMINISTIC 1/5 sample
     * of embeddings (double math). The exact all-pairs product is a
     * verification baseline only; the full corpus runs through the LSH path. */

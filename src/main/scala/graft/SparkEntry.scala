@@ -312,6 +312,13 @@ object SparkEntry {
 
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 0.4)),
 
+    // asymmetric containment (boilerplate/subset dups Jaccard misses)
+    "q_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir), 0.6)),
+
+    // winnowing fingerprints (SWA substring-overlap sketch)
+    "q_winnow_fp" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir)).select(col("id").as("doc_id"), col("fp"))),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
@@ -514,6 +521,8 @@ object SparkEntry {
     "q_text_stats" -> Oracles.textStats,
     "q_lang_id" -> Oracles.langId,
     "q_jaccard_pairs" -> Oracles.jaccardPairs,
+    "q_containment" -> Oracles.containmentPairs,
+    "q_winnow_fp" -> Oracles.winnowFp,
     "q_fingerprint" ->
       """WITH toks AS (
         SELECT doc_id,

@@ -43,12 +43,17 @@ object Dedup {
     * ~3·(|toks|−n) regex tokenizations (measured 25 s per pass over 5,000
     * sf0.1 docs — ~5 ms/doc); hoisted, the pass is sub-second. Same
     * hoisting discipline as the minhash md5 (one per shingle, r3). */
+  /** POSITIONAL k-gram array (duplicates kept, document order preserved) —
+    * the base for winnowing, where window positions matter. Same
+    * hoisted-attribute contract as shinglesOfTokens. */
+  def gramsOfTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array(array_join(toks, " ")))
+
   def shinglesOfTokens(toks: Column, n: Int = 3): Column =
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
-        .otherwise(array(array_join(toks, " "))))
+    array_distinct(gramsOfTokens(toks, n))
 
   /** Word n-gram shingle array from raw text (shared tokenizer).
     * NOTE: only for one-shot column use — inside interpreted HOFs the
@@ -139,6 +144,86 @@ object Dedup {
     val out = graft.io.Iterate.pin(pairs)
     sh.unpersist(blocking = false)
     out
+  }
+
+  /** DIRECTED containment pairs: C(A→B) = |A∩B| / |A| >= threshold over the
+    * capped shingle universe — the asymmetric cousin of jaccardPairs that
+    * symmetric Jaccard structurally misses: a 50-word license header fully
+    * embedded in a 5,000-word file has J ≈ 0.01 but containment 1.0.
+    * Boilerplate/quotation/subset-duplicate detection in a training
+    * corpus is a containment query, not a Jaccard one.
+    *
+    * Same prefix-filter soundness, one-sided: |A∩B| >= ceil(t·|A|) forces
+    * at least one shared shingle into A's rarest-(|A|-ceil(t·|A|)+1)
+    * prefix (pigeonhole on A's suffix), so candidates = A-prefix ⨝ FULL
+    * table (B needs no length filter — anything can contain A). The df cap
+    * bounds the hub blowup exactly as in jaccardPairs; verification counts
+    * the true intersection through the kept table. Emits BOTH directions
+    * when both clear the threshold (ida = the contained side). */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxShingleDF: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = shingleTable(docs, idCol, textCol, n)
+    val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDF)
+    val sh = sh0.join(dfs, Seq("sh")).persist()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pref = sh
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+      .join(sizes, Seq("id"))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("sh"), col("id"), col("sz"))
+    val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"))
+      .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
+      .filter(col("ida") =!= col("idb"))
+      .select("ida", "idb", "sza").distinct()
+    val inter = cands
+      .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+      .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
+      .groupBy("ida", "idb", "sza").agg(count(lit(1)).as("inter"))
+    val pairs = inter
+      .withColumn("craw", col("inter").cast("double") / col("sza"))
+      .filter(col("craw") >= threshold)
+      .select(col("ida"), col("idb"), round(col("craw"), 6).as("containment"))
+    val out = graft.io.Iterate.pin(pairs)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03): hash
+    * every positional k-gram, slide a w-hash window, keep each window's
+    * MINIMUM — the distinct minima are the document's fingerprint set.
+    * Guarantee: two documents sharing a token run of length >= w + k − 1
+    * share at least one fingerprint, with expected density 2/(w+1) of the
+    * gram count — the standard substring-overlap sketch (plagiarism /
+    * near-verbatim reuse) at a fraction of full-shingle cost.
+    *
+    * Entirely per-row array pipeline (zero shuffle before the final
+    * explode): tokens → positional grams → one portable md5 per gram
+    * (40-bit value, DuckDB-replicable: '0x'||substr(md5('wn:'||g),1,10)) →
+    * windowed minima. Each stage materializes in its own projection so the
+    * interpreted lambdas index computed arrays (shinglesOfTokens scaladoc).
+    * Ties keep the minimum VALUE (both engines take min, no position
+    * tie-break needed since equal minima yield the same fingerprint). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(w >= 1, "window must be >= 1")
+    docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("id"), gramsOfTokens(col("toks"), k).as("grams"))
+      .select(col("id"), transform(col("grams"),
+        g => conv(substring(md5(concat(lit("wn:"), g)), 1, 10), 16, 10).cast("long"))
+        .as("hs"))
+      .select(col("id"),
+        when(size(col("hs")) >= w,
+          array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
+            j => array_min(slice(col("hs"), j + 1, lit(w))))))
+          .otherwise(array(array_min(col("hs")))).as("fps"))
+      .select(col("id"), explode(col("fps")).as("fp"))
   }
 
   // -------------------------------------------------------------- minhash
