@@ -490,6 +490,17 @@ object Oracles {
       SELECT doc_id, fp FROM wins
       UNION ALL SELECT doc_id, fp FROM small) u"""
 
+  /** Winnow-overlap pairs (>= 2 shared df-capped fingerprints) — mirrors
+    * Dedup.winnowOverlapPairs over the winnowFp fingerprint set. */
+  val winnowOverlapPairs: String = s"""WITH fps AS ($winnowFp),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+    kf AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+    SELECT a.doc_id AS ida, b.doc_id AS idb,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2"""
+
   /** Exact cosine near-dup pairs >= 0.4 over the DETERMINISTIC 1/5 sample
     * of embeddings (double math). The exact all-pairs product is a
     * verification baseline only; the full corpus runs through the LSH path. */

@@ -319,6 +319,9 @@ object SparkEntry {
     "q_winnow_fp" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir)).select(col("id").as("doc_id"), col("fp"))),
 
+    // near-verbatim reuse pairs over the winnowed sketch
+    "q_winnow_pairs" -> ((s, dir) => Dedup.winnowOverlapPairs(docs(s, dir))),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
@@ -523,6 +526,7 @@ object SparkEntry {
     "q_jaccard_pairs" -> Oracles.jaccardPairs,
     "q_containment" -> Oracles.containmentPairs,
     "q_winnow_fp" -> Oracles.winnowFp,
+    "q_winnow_pairs" -> Oracles.winnowOverlapPairs,
     "q_fingerprint" ->
       """WITH toks AS (
         SELECT doc_id,

@@ -202,28 +202,67 @@ object Dedup {
     * gram count — the standard substring-overlap sketch (plagiarism /
     * near-verbatim reuse) at a fraction of full-shingle cost.
     *
-    * Entirely per-row array pipeline (zero shuffle before the final
-    * explode): tokens → positional grams → one portable md5 per gram
-    * (40-bit value, DuckDB-replicable: '0x'||substr(md5('wn:'||g),1,10)) →
-    * windowed minima. Each stage materializes in its own projection so the
-    * interpreted lambdas index computed arrays (shinglesOfTokens scaladoc).
-    * Ties keep the minimum VALUE (both engines take min, no position
-    * tie-break needed since equal minima yield the same fingerprint). */
+    * Shape: ROWS, not arrays. A first cut chained array stages
+    * (grams → hashes → windowed minima as nested `transform` lambdas);
+    * CollapseProject merged the projections back together and the
+    * interpreted winnow lambda re-evaluated the whole gram+md5 pipeline
+    * PER WINDOW — 174 s for 500 sf0.01 docs. The row form posexplodes
+    * the grams once (one interpreted lambda per row, bound attribute),
+    * then everything hot is codegen'd relational ops: md5 in a plain
+    * projection, the sliding minimum as a `rowsBetween(current, w-1)`
+    * window frame partitioned BY DOCUMENT (thousands of small
+    * partitions — no single-partition window), distinct minima as a
+    * hash aggregate. One shuffle on doc id, the shape that scales.
+    * Hash: 40-bit value, DuckDB-replicable
+    * ('0x'||substr(md5('wn:'||g),1,10)). A doc with fewer than w grams
+    * keeps its global minimum (the pos-0 frame truncates to the doc
+    * end, which IS the global min — no special case). */
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(w >= 1, "window must be >= 1")
-    docs
+    val gh = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("id"), gramsOfTokens(col("toks"), k).as("grams"))
-      .select(col("id"), transform(col("grams"),
-        g => conv(substring(md5(concat(lit("wn:"), g)), 1, 10), 16, 10).cast("long"))
-        .as("hs"))
-      .select(col("id"),
-        when(size(col("hs")) >= w,
-          array_distinct(transform(sequence(lit(0), size(col("hs")) - w),
-            j => array_min(slice(col("hs"), j + 1, lit(w))))))
-          .otherwise(array(array_min(col("hs")))).as("fps"))
-      .select(col("id"), explode(col("fps")).as("fp"))
+      .select(col("id"), posexplode(gramsOfTokens(col("toks"), k)))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(concat(lit("wn:"), col("col"))), 1, 10), 16, 10)
+          .cast("long").as("h"))
+    val frame = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    gh
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("mn", min(col("h")).over(frame))
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("id"), col("mn").as("fp"))
+      .distinct()
+  }
+
+  /** Near-verbatim reuse pairs: documents sharing >= minShared winnowed
+    * fingerprints. The fingerprint table is ~2/(w+1) the gram count, so
+    * this is the CHEAP substring-overlap join (plagiarism/mirror
+    * detection) — same equi-join-on-key shape as every other blocking
+    * path, with the same hub guard: a fingerprint shared by k docs emits
+    * C(k,2) pairs, so fingerprints above `maxFpDF` document frequency are
+    * dropped first (a boilerplate gram's minimum can dominate a corpus
+    * exactly like a stopword shingle). */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int = 2, k: Int = 3,
+                         w: Int = 4, idCol: String = "doc_id",
+                         textCol: String = "text", maxFpDF: Int = 1000): DataFrame = {
+    // Persist the BASE fingerprint table: the df-cap aggregate and the
+    // capped join both consume it — unpinned, the tokenize+winnow pipeline
+    // runs once per consumer (the jaccardPairs `sh` lesson).
+    val fp0 = winnowFingerprints(docs, k, w, idCol, textCol).persist()
+    val keep = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDF).select("fp")
+    val fp = fp0.join(keep, Seq("fp"))
+    val pairs = fp.select(col("fp"), col("id").as("ida"))
+      .join(fp.select(col("fp"), col("id").as("idb")), Seq("fp"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    val out = graft.io.Iterate.pin(pairs)
+    fp0.unpersist(blocking = false)
+    out
   }
 
   // -------------------------------------------------------------- minhash

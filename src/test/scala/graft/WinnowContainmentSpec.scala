@@ -89,6 +89,17 @@ class WinnowContainmentSpec extends SparkSpec {
     assert(fps(1L) == fps(4L))
   }
 
+  test("winnowOverlapPairs finds the boilerplate-sharing pairs, not the disjoint ones") {
+    val pairs = Dedup.winnowOverlapPairs(corpus, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L))) // shared boilerplate run
+    assert(pairs.contains((1L, 4L))) // exact dups
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L }) // disjoint doc
+    // exact dups share their whole (identical) fingerprint set
+    val fps1 = winnowRef(boiler).size
+    assert(pairs((1L, 4L)) == fps1)
+  }
+
   test("short docs (< w grams) emit exactly the global-min fingerprint") {
     val tiny = Seq((9L, "only two")).toDF("doc_id", "text")
     val fps = Dedup.winnowFingerprints(tiny).collect()
