@@ -179,6 +179,12 @@ object Dedup {
       .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
       .filter(col("ida") =!= col("idb"))
       .select("ida", "idb", "sza").distinct()
+      // Sound size prune before the verification join: |A∩B| <= |B|, so
+      // containment >= t forces |B| >= t·|A| (epsilon only loosens). Kills
+      // the short-B candidates a big doc's prefix drags in.
+      .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), Seq("idb"))
+      .filter(lit(threshold) * col("sza") - lit(1e-9) <= col("szb"))
+      .select("ida", "idb", "sza")
     val inter = cands
       .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
       .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
