@@ -424,7 +424,7 @@ object Oracles {
       JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
       UNION
-      SELECT doc_id, list_aggregate(t, 'string_agg', ' ') AS sh
+      SELECT doc_id, coalesce(list_aggregate(t, 'string_agg', ' '), '') AS sh
       FROM toks WHERE len(t) < 3)"""
 
   private val shingleCte = s"""$shingleBase,
@@ -470,7 +470,7 @@ object Oracles {
       JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
       UNION ALL
-      SELECT doc_id, 1 AS pos, list_aggregate(t, 'string_agg', ' ') AS g
+      SELECT doc_id, 1 AS pos, coalesce(list_aggregate(t, 'string_agg', ' '), '') AS g
       FROM toks WHERE len(t) < 3),
     gh AS (SELECT doc_id, pos,
                   ('0x' || substr(md5('wn:' || g), 1, 10))::BIGINT AS h FROM gram),

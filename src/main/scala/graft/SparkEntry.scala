@@ -560,10 +560,12 @@ object SparkEntry {
     // round-3 additions: portable md5 hash family makes the randomized
     // scale paths and full gated iterative runs DuckDB-replicable
     "q_hedonic_full" -> Oracles.hedonicFull(32),
-    // 40 levels: the weighted run converges in 33-40 supersteps at sf0.01
-    // (vs 23 unweighted); post-convergence levels are identity, verified
-    // against a 48-level pyramid too.
-    "q_whedonic_full" -> Oracles.whedonicFull(40),
+    // 48 levels: the weighted run converges in 33-40 supersteps at sf0.01
+    // (vs 23 unweighted); post-convergence levels are identity, so the 8
+    // extra levels are free correctness margin against data/SF drift
+    // (engine cap is 60, so a run converging at 41+ would otherwise
+    // hash-mismatch spuriously).
+    "q_whedonic_full" -> Oracles.whedonicFull(48),
     "q_hedonic_frontier" -> Oracles.hedonicFrontier(40),
     "q_leiden_full" -> Oracles.leidenFull(30, 10),
     "q_leiden_refine" -> Oracles.leidenRefine,

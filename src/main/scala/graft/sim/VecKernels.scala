@@ -35,41 +35,48 @@ object VecKernels {
     * (hyperplane row). The weights enter generated code through the
     * references array — 64 planes inline would bloat the generated source
     * past Janino's method limits and defeat its compile cache. */
-  def dotLit(v: Column, w: Array[Double]): Column = column(DotLit(expression(v), w))
+  def dotLit(v: Column, w: Array[Double]): Column =
+    column(DotLit(expression(v), w.toIndexedSeq))
 
   /** Fused one-pass cosine similarity of two array<double> columns. */
   def cosine(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
 }
 
-private[sim] case class DotLit(child: Expression, weights: Array[Double])
+// Weights are an IndexedSeq (value equality), not Array (reference equality),
+// so Catalyst canonicalization / subexpression elimination can dedupe two
+// dotLit instances over the same plane.
+private[sim] case class DotLit(child: Expression, weights: IndexedSeq[Double])
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_lit"
+
+  @transient private lazy val wArr: Array[Double] = weights.toArray
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n != weights.length) return null
+    if (n != wArr.length) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
-      s += arr.getDouble(i) * weights(i)
+      s += arr.getDouble(i) * wArr(i)
       i += 1
     }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val w = ctx.addReferenceObj("dotWeights", weights, "double[]")
+    val w = ctx.addReferenceObj("dotWeights", wArr, "double[]")
     val cGen = child.genCode(ctx)
     val arr = ctx.freshName("arr")
     val n = ctx.freshName("n")
     val i = ctx.freshName("i")
     val ok = ctx.freshName("ok")
+    val s = ctx.freshName("s")
     ev.copy(code = code"""
       ${cGen.code}
       boolean ${ev.isNull} = true;
@@ -79,12 +86,12 @@ private[sim] case class DotLit(child: Expression, weights: Array[Double])
         int $n = $arr.numElements();
         if ($n == $w.length) {
           boolean $ok = true;
-          double s = 0.0;
+          double $s = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             if ($arr.isNullAt($i)) { $ok = false; break; }
-            s += $arr.getDouble($i) * $w[$i];
+            $s += $arr.getDouble($i) * $w[$i];
           }
-          if ($ok) { ${ev.isNull} = false; ${ev.value} = s; }
+          if ($ok) { ${ev.isNull} = false; ${ev.value} = $s; }
         }
       }""")
   }
@@ -132,6 +139,8 @@ private[sim] case class CosineSim(left: Expression, right: Expression)
     val dot = ctx.freshName("dot")
     val sa = ctx.freshName("sa")
     val sb = ctx.freshName("sb")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
     ev.copy(code = code"""
       ${aGen.code}
       ${bGen.code}
@@ -146,9 +155,9 @@ private[sim] case class CosineSim(left: Expression, right: Expression)
           double $dot = 0.0, $sa = 0.0, $sb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
             if ($a.isNullAt($i) || $b.isNullAt($i)) { $ok = false; break; }
-            double x = $a.getDouble($i);
-            double y = $b.getDouble($i);
-            $dot += x * y; $sa += x * x; $sb += y * y;
+            double $x = $a.getDouble($i);
+            double $y = $b.getDouble($i);
+            $dot += $x * $y; $sa += $x * $x; $sb += $y * $y;
           }
           if ($ok) {
             ${ev.isNull} = false;
