@@ -601,6 +601,29 @@ object Oracles {
              AS DOUBLE) AS value
     FROM m CROSS JOIN generate_series(0, 7) AS d(dim)"""
 
+  /** REAL image decode oracle: the engine PNG-encodes a deterministic
+    * pixel law (Multimodal.chR/chG/chB over imgWidth x imgHeight) with
+    * javax.imageio, decodes it back, and aggregates channel means. PNG is
+    * lossless and the law is closed-form, so DuckDB recomputes the
+    * expected means from arithmetic alone — a green hash verifies the
+    * entire encode -> decode -> aggregate roundtrip, not a stub. */
+  val mediaReal: String = """
+    WITH img AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(8 + doc_id % 16 AS INT) AS width,
+             CAST(8 + (doc_id*3) % 16 AS INT) AS height
+      FROM documents),
+    px AS (
+      SELECT media_id, width, height,
+             CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
+      FROM img, LATERAL (SELECT unnest(range(0, width)) AS x) xs,
+                LATERAL (SELECT unnest(range(0, height)) AS y) ys)
+    SELECT media_id, 'png' AS codec, width, height,
+      round(CAST(sum((x*31 + y*17 + media_id*7) % 256) AS DOUBLE) / (width*height), 6) AS mean_r,
+      round(CAST(sum((x*13 + y*29 + media_id*3) % 256) AS DOUBLE) / (width*height), 6) AS mean_g,
+      round(CAST(sum((x*11 + y*23 + media_id*5) % 256) AS DOUBLE) / (width*height), 6) AS mean_b
+    FROM px GROUP BY 1,2,3,4"""
+
   /** Frame-sample plan for the video rows of documents-derived media:
     * one row per 60 s tick of durationMs = (doc_id*7919) % 600000 + 1. */
   val framePlan: String = """

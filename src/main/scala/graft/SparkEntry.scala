@@ -249,6 +249,19 @@ object SparkEntry {
       Multimodal.frameSamplePlan(Multimodal.fromDocuments(docs(s, dir)).toDF(), 60000L)
     }),
 
+    // REAL image decode roundtrip: deterministic PNGs encoded AND decoded
+    // with javax.imageio on executors; the pixel law is closed-form so the
+    // oracle (Oracles.mediaReal) recomputes the channel means without any
+    // codec — verifying the whole lossless encode->decode->aggregate path.
+    "q_media_real" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decodeImages(Multimodal.synthesizeImages(docs(s, dir))).toDF()
+        .select(col("media_id"), col("codec"), col("width"), col("height"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+    }),
+
     // full gated hedonic run to equilibrium from the SINGLETON partition on
     // the thin graph (23 supersteps at sf0.01) — oracled end-to-end: the
     // portable md5 parity gate lets DuckDB replay every superstep
@@ -546,6 +559,7 @@ object SparkEntry {
     "q_spectrum" -> Oracles.spectrum,
     "q_media_features" -> Oracles.mediaFeatures,
     "q_frame_plan" -> Oracles.framePlan,
+    "q_media_real" -> Oracles.mediaReal,
     "q_cc_sparse" -> Oracles.ccSparse,
     "q_induced" -> Oracles.induced,
     "q_onepass" -> Oracles.onePass,

@@ -90,6 +90,97 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Real image decode (pure-JDK javax.imageio — PNG/JPEG/BMP need no
+  // external jars). The synthetic pixel content is CLOSED-FORM arithmetic
+  // of (media_id, x, y), so the DuckDB oracle recomputes expected channel
+  // statistics without decoding anything: a green hash row verifies the
+  // whole lossless encode -> decode -> aggregate roundtrip end to end.
+  // ---------------------------------------------------------------------
+
+  case class ImageRow(media_id: Long, bytes: Array[Byte])
+  case class ImageFeature(media_id: Long, codec: String, width: Int, height: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic image geometry + pixel law. Mirrored verbatim in the
+    * DuckDB oracle (Oracles.mediaReal) — change both together. */
+  def imgWidth(id: Long): Int = (8 + (id % 16)).toInt
+  def imgHeight(id: Long): Int = (8 + ((id * 3) % 16)).toInt
+  private def chR(id: Long, x: Int, y: Int): Int = ((x * 31L + y * 17L + id * 7L) % 256L).toInt
+  private def chG(id: Long, x: Int, y: Int): Int = ((x * 13L + y * 29L + id * 3L) % 256L).toInt
+  private def chB(id: Long, x: Int, y: Int): Int = ((x * 11L + y * 23L + id * 5L) % 256L).toInt
+
+  /** Encode one deterministic PNG (real ImageIO encode, executor-side). */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = imgWidth(id); val h = imgHeight(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (chR(id, x, y) << 16) | (chG(id, x, y) << 8) | chB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Image table keyed by the documents table's doc_ids: real PNG payloads,
+    * encoded per-partition on executors (no driver loop, no shuffle — the
+    * encode is a narrow map over the scan). */
+  def synthesizeImages(docs: DataFrame): Dataset[ImageRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        ids.map(id => ImageRow(id, encodePng(id)))
+      }
+  }
+
+  /** Real decode: javax.imageio PNG/JPEG/BMP -> per-channel mean features.
+    * mapPartitions for the once-per-partition codec setup; rows stream.
+    * Bytes no reader accepts fall through to the deterministic stub
+    * (codec = "stub", sha256-derived values) instead of failing the batch —
+    * at 100 TB a corrupt blob must cost one row, not one task retry loop. */
+  def decodeImages(images: Dataset[ImageRow]): Dataset[ImageFeature] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) {
+          digest.reset()
+          val d = digest.digest(r.bytes)
+          ImageFeature(r.media_id, "stub", 0, 0,
+            (d(0) & 0xff).toDouble, (d(1) & 0xff).toDouble, (d(2) & 0xff).toDouble)
+        } else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          // exact integer sums, one division each: bit-identical to the
+          // oracle's CAST(sum AS DOUBLE) / (width*height)
+          ImageFeature(r.media_id, "png", w, h, sr / n, sg / n, sb / n)
+        }
+      }
+    }
+  }
+
   /** "Resize" metadata op: pure-column arithmetic on the typed meta struct
     * (the real pixel resize happens inside the decode stage; the catalog
     * metadata transform is columnar and codegen'd). */

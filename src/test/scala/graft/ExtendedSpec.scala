@@ -167,6 +167,52 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(col("resized_width") > col("meta.width")).count() == 0)
   }
 
+  private def expectedRgb(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 31L + y * 17L + id * 7L) % 256L).toInt,
+    ((x * 13L + y * 29L + id * 3L) % 256L).toInt,
+    ((x * 11L + y * 23L + id * 5L) % 256L).toInt)
+
+  test("real decode: checked-in PNG fixture decodes pixel-for-pixel to the closed-form law") {
+    // media_id17.png was written by an INDEPENDENT encoder (hand-built
+    // zlib/PNG, not ImageIO) from the same pixel law — so this pins the
+    // law, the fixture, and javax.imageio's decode against each other.
+    val in = getClass.getResourceAsStream("/fixtures/media_id17.png")
+    val img = javax.imageio.ImageIO.read(in)
+    assert(img.getWidth == Multimodal.imgWidth(17) && img.getHeight == Multimodal.imgHeight(17))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      val (r, g, b) = expectedRgb(17, x, y)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((r, g, b)), s"pixel ($x,$y)")
+    }
+    // and the engine's own encoder produces the identical pixel matrix
+    val own = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(17)))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert(own.getRGB(x, y) == img.getRGB(x, y))
+  }
+
+  test("real decode: distributed ImageIO features match closed-form means; garbage falls back to stub") {
+    import spark.implicits._
+    val docs = spark.range(12).select(col("id").as("doc_id"))
+    val feats = Multimodal.decodeImages(Multimodal.synthesizeImages(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 12)
+    for (id <- 0L until 12L) {
+      val f = feats(id)
+      assert(f.codec == "png")
+      val w = Multimodal.imgWidth(id); val h = Multimodal.imgHeight(id)
+      assert(f.width == w && f.height == h)
+      val px = for (y <- 0 until h; x <- 0 until w) yield expectedRgb(id, x, y)
+      assert(f.mean_r == px.map(_._1.toLong).sum.toDouble / (w * h))
+      assert(f.mean_g == px.map(_._2.toLong).sum.toDouble / (w * h))
+      assert(f.mean_b == px.map(_._3.toLong).sum.toDouble / (w * h))
+    }
+    // non-image bytes: one bad row costs one stub row, not the batch
+    val junk = Seq(Multimodal.ImageRow(99L, Array[Byte](1, 2, 3, 4))).toDS()
+    val fb = Multimodal.decodeImages(junk).collect()
+    assert(fb.length == 1 && fb.head.codec == "stub" && fb.head.width == 0)
+  }
+
   test("frame-sample plan explodes video timestamps at the stride") {
     val df = Multimodal.synthesize(spark, 30).toDF()
     val frames = Multimodal.frameSamplePlan(df, everyMs = 60000)
