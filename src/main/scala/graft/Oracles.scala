@@ -357,6 +357,24 @@ object Oracles {
   private val stopwords =
     "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','from']"
 
+  /** Real BPE token count: mirrors Bpe.bpeCount — the same delimiter-wrapped
+    * symbol string and the same ordered one-replace-per-merge chain, with
+    * the learned merges embedded as literals (the shipped-tokenizer
+    * artifact). Built-in `replace` is leftmost non-overlapping in both
+    * engines, which IS one-pass-per-merge BPE application. */
+  def bpeCount(merges: Seq[(String, String)]): String = {
+    val base = "regexp_replace(coalesce(list_aggregate(t, 'string_agg', ' '), '')," +
+      " '([a-z0-9])', '_\\1_', 'g')"
+    val chain = merges.foldLeft(base) { case (s, (a, b)) =>
+      s"replace($s, '_${a}__${b}_', '_$a$b" + "_')"
+    }
+    s"""WITH $toksCte,
+    sym AS (SELECT doc_id, $chain AS s FROM toks)
+    SELECT doc_id,
+           CAST((length(s) - length(replace(s, '_', ''))) // 2 AS BIGINT) AS bpe_tokens
+    FROM sym"""
+  }
+
   val textStats: String = s"""WITH $toksCte,
     base AS (
       SELECT d.doc_id, d.text, t.t,

@@ -323,6 +323,12 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))),
 
+    // real BPE token count with the shipped 64-merge tokenizer artifact
+    // (trained deterministically on Bpe.seedCorpus); the columnar
+    // replace-chain application is mirrored merge-for-merge by the oracle
+    "q_bpe_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.bpeCount(col("text")).as("bpe_tokens"))),
+
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 0.4)),
 
     // asymmetric containment (boilerplate/subset dups Jaccard misses)
@@ -536,6 +542,7 @@ object SparkEntry {
     "q_dedup_exact" -> Oracles.dedupExact,
     "q_text_stats" -> Oracles.textStats,
     "q_lang_id" -> Oracles.langId,
+    "q_bpe_count" -> Oracles.bpeCount(graft.text.Bpe.defaultMerges),
     "q_jaccard_pairs" -> Oracles.jaccardPairs,
     "q_containment" -> Oracles.containmentPairs,
     "q_winnow_fp" -> Oracles.winnowFp,

@@ -19,11 +19,8 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count proxy: alphanumeric runs + punctuation marks each
-    * count as a token (a cheap, deterministic stand-in for a real BPE
-    * vocabulary — same shape, same pipeline position). */
-  def bpeishCount(text: Column): Column =
-    size(filter(split(regexp_replace(text, "([^A-Za-z0-9])", " $1 "), " "), t => t =!= ""))
+  /** Subword (BPE) token count — real trained-merges BPE, see [[Bpe]]. */
+  def bpeCount(text: Column): Column = Bpe.bpeCount(text)
 
   private val stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

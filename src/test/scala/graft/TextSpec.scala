@@ -14,12 +14,58 @@ class TextOpsSpec extends SparkSpec {
     assert(toks == Seq("hello", "world", "foo", "bar", "42"))
   }
 
-  test("token counts: whitespace vs BPE-ish") {
+  test("whitespace token count") {
     val df = Seq((1L, "a,b c")).toDF("doc_id", "text")
-    val r = df.select(TextOps.tokenCount(col("text")),
-      TextOps.bpeishCount(col("text"))).head()
-    assert(r.getInt(0) == 3) // a b c
-    assert(r.getInt(1) == 4) // a , b c
+    assert(df.select(TextOps.tokenCount(col("text"))).head().getInt(0) == 3)
+  }
+
+  test("BPE trainer learns the classic merges in order") {
+    import graft.text.Bpe
+    // hand-computable corpus: pair (l,o) freq 7+4=11? no: low*5 lower*2 ->
+    // (l,o)=7, (o,w)=7, (w,e)=2+6=8... compute: newest*6 widest*3 share (e,s),(s,t)=9
+    val freqs = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val m = Bpe.train(freqs, 4)
+    // (e,s)=9 and (s,t)=9 tie -> lexicographic: (e,s) first; then (es,t)=9;
+    // then (l,o)=(o,w)=7 tie -> (l,o); then (lo,w)=7
+    assert(m == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // reference application after those merges
+    assert(Bpe.applyMerges("lowest", m) == Vector("low", "est"))
+    assert(Bpe.applyMerges("newest", m) == Vector("n", "e", "w", "est"))
+  }
+
+  test("columnar BPE count equals the JVM reference on tricky inputs") {
+    import graft.text.Bpe
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "aa"), ("t", "h"), ("th", "e"))
+    val docs = Seq(
+      (1L, "aaaa abab xabc"),    // repeat overlap: one-pass-per-merge semantics
+      (2L, "aaaaaaaa"),          // (a,a) then (aa,aa) cascades
+      (3L, "the theory breathes"),
+      (4L, ""),                  // empty doc -> 0
+      (5L, "Z!?"),               // punctuation-only -> 0 tokens -> 0
+      (6L, "ab aab aaab aaaab")) // boundary: merged symbol then fresh pair
+    val df = docs.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Bpe.bpeCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, text) <- docs) {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" ").filter(_.nonEmpty)
+      val want = toks.map(w => Bpe.applyMerges(w, merges).length.toLong).sum
+      assert(got(id) == want, s"doc $id: got ${got(id)}, reference $want")
+    }
+    // spot-check the hand value: aaaa->[aa,aa]->[aaaa]; abab->[ab,ab]; xabc->[x,ab,c]
+    assert(got(1L) == 1 + 2 + 3)
+  }
+
+  test("trainOnCorpus is deterministic and its merges compress the corpus") {
+    import graft.text.Bpe
+    val df = (0L until 50L).map(i => (i, Bpe.seedCorpus)).toDF("doc_id", "text")
+    val m1 = Bpe.trainOnCorpus(df, numMerges = 16)
+    val m2 = Bpe.trainOnCorpus(df, numMerges = 16)
+    assert(m1 == m2 && m1.length == 16)
+    val charCount = df.select(sum(length(regexp_replace(
+      array_join(TextOps.tokens(col("text")), ""), " ", "")))).head().getLong(0)
+    val bpeTotal = df.select(sum(Bpe.bpeCount(col("text"), m1))).head().getLong(0)
+    assert(bpeTotal < charCount, "BPE must compress below character count")
+    assert(bpeTotal > 0)
   }
 
   test("quality stats on a hand-computed doc") {
