@@ -408,6 +408,69 @@ object Oracles {
              + 0.25 * (1.0 - repetition_ratio))), 6) AS quality_score
     FROM stats"""
 
+  /** Quality keep/drop verdict over documents + planted bad rows — mirrors
+    * TextOps.qualityVerdict with the QualityConfig DEFAULT thresholds
+    * (minTokens 10, maxTokens 100000, mean word len [2,12], punct > 0.2,
+    * stopword < 0.05, repetition > 0.5, allowed langs en/und). Thresholds
+    * compare UNROUNDED ratios on both sides. */
+  def quality(planted: Seq[(Long, String)]): String = {
+    val values = planted.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+    }.mkString(",\n      ")
+    val scoreSelects = langMarkers.map { case (code, arr) =>
+      s"SELECT doc_id, '$code' AS code, len(list_filter(t, x -> list_contains($arr, x))) AS score FROM toks"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+                         x -> x <> '') AS t
+      FROM alldocs),
+    base AS (
+      SELECT d.doc_id, d.text, t.t,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t.t)) AS BIGINT) AS n_distinct_tokens
+      FROM alldocs d JOIN toks t USING (doc_id)),
+    stats AS (
+      SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens > 0
+             THEN len(list_filter(t, x -> list_contains($stopwords, x))) * 1.0 / n_tokens
+             ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_tokens > 0
+             THEN list_aggregate(list_transform(t, x -> length(x)), 'sum') * 1.0 / n_tokens
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_tokens > 0
+             THEN 1.0 - n_distinct_tokens * 1.0 / n_tokens
+             ELSE 0.0 END AS repetition_ratio
+      FROM base),
+    scores AS ($scoreSelects),
+    best AS (
+      SELECT doc_id, code, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code ASC) AS rn
+      FROM scores),
+    lang AS (
+      SELECT doc_id, CASE WHEN score > 0 THEN code ELSE 'und' END AS lang_guess
+      FROM best WHERE rn = 1),
+    verdict AS (
+      SELECT s.doc_id, l.lang_guess,
+        concat_ws(',',
+          CASE WHEN n_tokens < 10 THEN 'too_short' END,
+          CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+          CASE WHEN n_tokens > 0 AND (mean_word_len < 2.0 OR mean_word_len > 12.0)
+               THEN 'word_len_out_of_range' END,
+          CASE WHEN punct_ratio > 0.2 THEN 'symbol_heavy' END,
+          CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword' END,
+          CASE WHEN repetition_ratio > 0.5 THEN 'repetitious' END,
+          CASE WHEN l.lang_guess NOT IN ('en', 'und') THEN 'non_target_lang' END) AS drop_reason
+      FROM stats s JOIN lang l USING (doc_id))
+    SELECT doc_id, lang_guess, drop_reason, (drop_reason = '') AS keep FROM verdict"""
+  }
+
   private val langMarkers: Seq[(String, String)] = Seq(
     "de" -> "['der','die','und','das','von','ist','den','mit','nicht','ein']",
     "en" -> "['the','and','of','to','in','is','that','it','was','for']",

@@ -323,6 +323,16 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))),
 
+    // quality keep/drop verdict (Gopher/C4-style) over organic docs plus
+    // planted bad rows (each drop rule provably fires for its reason)
+    "q_quality" -> ((s, dir) => {
+      import s.implicits._
+      val planted = TextOps.plantedBadDocs.toDF("doc_id", "text")
+      val all = docs(s, dir).select(col("doc_id"), col("text")).unionAll(planted)
+      TextOps.qualityVerdict(all)
+        .select(col("doc_id"), col("lang_guess"), col("drop_reason"), col("keep"))
+    }),
+
     // real BPE token count with the shipped 64-merge tokenizer artifact
     // (trained deterministically on Bpe.seedCorpus); the columnar
     // replace-chain application is mirrored merge-for-merge by the oracle
@@ -543,6 +553,7 @@ object SparkEntry {
     "q_text_stats" -> Oracles.textStats,
     "q_lang_id" -> Oracles.langId,
     "q_bpe_count" -> Oracles.bpeCount(graft.text.Bpe.defaultMerges),
+    "q_quality" -> Oracles.quality(TextOps.plantedBadDocs),
     "q_jaccard_pairs" -> Oracles.jaccardPairs,
     "q_containment" -> Oracles.containmentPairs,
     "q_winnow_fp" -> Oracles.winnowFp,

@@ -93,6 +93,54 @@ object TextOps {
       element_at(codeArr, -best.getField("negRank") + 1)).otherwise(lit("und"))
   }
 
+  /** Gopher/C4-style quality-filter thresholds. Ratio thresholds compare
+    * UNROUNDED values (the oracle mirrors that; rounding only happens at
+    * output columns). */
+  case class QualityConfig(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.05,
+      maxRepetitionRatio: Double = 0.5,
+      allowedLangs: Seq[String] = Seq("en", "und"))
+
+  /** Keep/drop verdict composing the qualityStats signals + langId: the
+    * switch a corpus builder actually flips. `drop_reason` lists every
+    * failing rule comma-joined in fixed rule order (concat_ws skips the
+    * non-firing NULLs); keep = no rule fired. One projection over the
+    * stats — columnar, codegen'd, no extra pass over the text. */
+  def qualityVerdict(docs: DataFrame, cfg: QualityConfig = QualityConfig(),
+                     textCol: String = "text"): DataFrame = {
+    val st = qualityStats(docs, textCol)
+      .withColumn("lang_guess", langId(col(textCol)))
+    val checks: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_tokens") < cfg.minTokens),
+      "too_long" -> (col("n_tokens") > cfg.maxTokens),
+      "word_len_out_of_range" -> (col("n_tokens") > 0 &&
+        (col("mean_word_len") < cfg.minMeanWordLen ||
+         col("mean_word_len") > cfg.maxMeanWordLen)),
+      "symbol_heavy" -> (col("punct_ratio") > cfg.maxPunctRatio),
+      "low_stopword" -> (col("stopword_ratio") < cfg.minStopwordRatio),
+      "repetitious" -> (col("repetition_ratio") > cfg.maxRepetitionRatio),
+      "non_target_lang" -> !col("lang_guess").isInCollection(cfg.allowedLangs))
+    st.withColumn("drop_reason",
+        concat_ws(",", checks.map { case (r, c) => when(c, lit(r)) }: _*))
+      .withColumn("keep", col("drop_reason") === "")
+  }
+
+  /** Planted documents exercising each drop rule (ids far above any real
+    * doc_id). Used by q_quality on BOTH the Spark and oracle side so the
+    * correctness row proves each bad document is rejected for the right
+    * reason, whatever the organic corpus happens to contain. */
+  val plantedBadDocs: Seq[(Long, String)] = Seq(
+    (1000000001L, "too short"),
+    (1000000002L, "the cat and the dog ran to the big red barn with $$$$$ %%%%% ##### @@@@@ *****"),
+    (1000000003L, Seq.fill(30)("the cat").mkString(" ")),
+    (1000000004L, "el perro y el gato que viven en la casa de los vecinos juegan por las tardes del verano"),
+    (1000000005L, "the quick brown fox jumps over the lazy dog and then it runs back to the barn in the morning"))
+
   /** Order-insensitive document fingerprint: sha256 of the sorted distinct
     * token set. Identical token-set docs collide — the cheap canonical
     * fingerprint for near-dup blocking (rolling-hash winnowing lives in

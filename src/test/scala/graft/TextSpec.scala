@@ -82,6 +82,19 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_word_len") - 17.0 / 6) < 1e-9)
   }
 
+  test("quality verdict: each planted bad doc rejected for its reason; good doc kept") {
+    val df = TextOps.plantedBadDocs.toDF("doc_id", "text")
+    val v = TextOps.qualityVerdict(df)
+      .select(col("doc_id"), col("drop_reason"), col("keep"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    def reasons(id: Long): Set[String] = v(id)._1.split(",").filter(_.nonEmpty).toSet
+    assert(reasons(1000000001L).contains("too_short") && !v(1000000001L)._2)
+    assert(reasons(1000000002L).contains("symbol_heavy") && !v(1000000002L)._2)
+    assert(reasons(1000000003L) == Set("repetitious"))
+    assert(reasons(1000000004L).contains("non_target_lang") && !v(1000000004L)._2)
+    assert(v(1000000005L) == (("", true)), s"good doc got ${v(1000000005L)}")
+  }
+
   test("language ID picks the profile with most markers; und when none") {
     val df = Seq(
       (1L, "the cat and the dog was in that house for it"),
