@@ -1316,6 +1316,72 @@ object Oracles {
     * portable md5 sample key; every vector lives in its nearest centroid's
     * cell (tie: smaller centroid id); queries probe their 2 nearest cells
     * and re-rank exactly inside them. */
+  /** Hashed text embeddings as rows (TextEmbed.embeddingRows, dim 16):
+    * one md5 per token, bucket = h mod 16, sign = bit 8, L2-normalized
+    * signed counts; zero-filled grid, empty docs all-zero. */
+  val textEmbed: String = s"""WITH $toksCte,
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    hsh AS (SELECT doc_id, ('0x' || substr(md5('eb:' || w), 1, 8))::BIGINT AS h FROM tok),
+    comp AS (
+      SELECT doc_id, h % 16 AS dim,
+             sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END) AS raw
+      FROM hsh GROUP BY 1, 2),
+    nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS nrm FROM comp GROUP BY doc_id),
+    grid AS (
+      SELECT d.doc_id, g.dim
+      FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) g)
+    SELECT g.doc_id, CAST(g.dim AS INT) AS dim,
+           round(CASE WHEN n.nrm > 0 THEN coalesce(c.raw, 0) / n.nrm ELSE 0.0 END, 6) AS value
+    FROM grid g
+    LEFT JOIN comp c ON g.doc_id = c.doc_id AND g.dim = c.dim
+    LEFT JOIN nrm n ON g.doc_id = n.doc_id"""
+
+  /** Recall@3 of the IVF path vs the exact baseline (Similarity.annRecall
+    * with the q_ann_topk / q_ivf_topk parameters: queries vec_id < 5,
+    * nCells 8, nProbe 2). Set membership compares ids from UNROUNDED
+    * rankings on both sides, mirroring both existing oracles. */
+  val annRecall: String = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex_scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             list_cosine_similarity(q.v, c.v) AS cos
+      FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5),
+    ex_rk AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+      FROM ex_scored),
+    exact AS (SELECT qid, nid FROM ex_rk WHERE rk <= 3),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM emb
+      ORDER BY ('0x' || substr(md5('ivf:' || vec_id), 1, 8))::BIGINT ASC, vec_id ASC
+      LIMIT 8),
+    asgn AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+      FROM emb e CROSS JOIN cent c),
+    corp AS (SELECT vec_id AS nid, cid AS cell FROM asgn WHERE rn = 1),
+    qry AS (SELECT vec_id AS qid, cid AS cell FROM asgn
+            WHERE vec_id < 5 AND rn <= 2),
+    iv_scored AS (
+      SELECT q.qid, c.nid, list_cosine_similarity(x.v, y.v) AS cos
+      FROM qry q JOIN corp c ON q.cell = c.cell AND c.nid <> q.qid
+      JOIN emb x ON q.qid = x.vec_id JOIN emb y ON c.nid = y.vec_id),
+    iv_rk AS (
+      SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+      FROM iv_scored),
+    approx AS (SELECT qid, nid FROM iv_rk WHERE rk <= 3),
+    ex_n AS (SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid),
+    ht AS (SELECT e.qid, count(*) AS n_hit
+           FROM exact e JOIN approx a ON e.qid = a.qid AND e.nid = a.nid
+           GROUP BY e.qid)
+    SELECT x.qid, CAST(x.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / x.n_exact, 6) AS recall
+    FROM ex_n x LEFT JOIN ht h ON x.qid = h.qid"""
+
   val ivfTopK: String = """
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (

@@ -392,6 +392,20 @@ object SparkEntry {
         nCells = 8, nProbe = 2)
     }),
 
+    // recall@k of the IVF path vs the exact baseline, as a reported
+    // number (was previously pinned only inside property tests)
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.annRecall(e, e.filter(col("vec_id") < 5), k = 3,
+        nCells = 8, nProbe = 2)
+    }),
+
+    // hashed-trick text embeddings: similarity surface from raw text,
+    // bitwise-oracled in rows form (doc_id, dim, value)
+    "q_text_embed" -> ((s, dir) =>
+      graft.text.TextEmbed.embeddingRows(docs(s, dir), dim = 16)
+        .select(col("doc_id"), col("dim"), round(col("value"), 6).as("value"))),
+
     // --------------------------- sparse order-graph ops (oracled)
     "q_cc_sparse" -> ((s, dir) => ConnectedComponents.run(graphSparse(s, dir))),
 
@@ -570,6 +584,8 @@ object SparkEntry {
     "q_embed_pairs" -> Oracles.embedPairs,
     "q_ann_topk" -> Oracles.annTopK,
     "q_ivf_topk" -> Oracles.ivfTopK,
+    "q_ann_recall" -> Oracles.annRecall,
+    "q_text_embed" -> Oracles.textEmbed,
     "q_events_window" -> Oracles.eventsWindow,
     "q_stream_dedup" -> Oracles.streamDedup,
     // round-2 additions

@@ -191,6 +191,27 @@ object Similarity {
     out
   }
 
+  /** Recall@k of the IVF path against the exact top-k baseline, per query:
+    * (qid, n_exact, n_hit, recall). The quality dial a corpus builder
+    * tunes nProbe/nCells against — previously this property lived only in
+    * tests. Cost: one exact topK over the query set (broadcast queries)
+    * plus one ivfTopK; the comparison itself is an ids-only semi-join. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 8, nProbe: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val exact = topK(corpus, queries, k, idCol, vecCol).select(col("qid"), col("nid"))
+    val approx = ivfTopK(corpus, queries, k, nCells, nProbe, idCol, vecCol)
+      .select(col("qid"), col("nid"))
+    val ex = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    val ht = exact.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    ex.join(ht, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries are broadcast. Deterministic
     * tie-break: higher cosine, then smaller neighbor id. */

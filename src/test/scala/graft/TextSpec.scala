@@ -213,4 +213,58 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.contains((0L, 1L))) // identical vectors always share buckets
   }
+
+  test("annRecall: full probe depth gives recall 1.0; values stay in [0,1]") {
+    val corpus = (0L until 24L).map(i =>
+      (i, Seq.tabulate(8)(d => (math.sin(i * 8 + d) * 100).toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val full = Similarity.annRecall(corpus, queries, k = 3, nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+    assert(full.length == 4)
+    // probing every cell IS the exact search: recall must be 1 for all
+    assert(full.forall { case (_, ne, nh, rec) => ne == 3 && nh == 3 && rec == 1.0 })
+    val partial = Similarity.annRecall(corpus, queries, k = 3, nCells = 8, nProbe = 1)
+      .collect().map(_.getAs[Double]("recall"))
+    assert(partial.forall(r => r >= 0.0 && r <= 1.0))
+  }
+}
+
+class TextEmbedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.TextEmbed
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact duplicate
+    (3L, "completely different words about spark engines and partitions"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("identical texts give identical embeddings; empty doc gives zeros") {
+    val e = TextEmbed.embeddings(docs, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(e(1L) == e(2L))
+    assert(e(1L) != e(3L))
+    assert(e(4L).forall(_ == 0.0) && e(4L).length == 16)
+    // non-empty embeddings are L2-normalized
+    val n1 = math.sqrt(e(1L).map(x => x * x).sum)
+    assert(math.abs(n1 - 1.0) < 1e-12)
+  }
+
+  test("array form agrees with rows form at every dim") {
+    val rows = TextEmbed.embeddingRows(docs, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val arrs = TextEmbed.embeddings(docs, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L); d <- 0 until 16)
+      assert(arrs(id)(d) == rows((id, d)), s"doc $id dim $d")
+  }
+
+  test("lshPairs over derived embeddings finds planted duplicate texts") {
+    val e = TextEmbed.embeddings(docs.filter(col("doc_id") =!= 4L), dim = 16)
+    val pairs = Similarity.lshPairs(e, 0.99, idCol = "vec_id", vecCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
 }
