@@ -271,6 +271,27 @@ object Dedup {
     out
   }
 
+  /** Number of hub shingles a given df cap drops (jaccardPairs /
+    * containmentPairs skew guard) — the observability hook, mirroring
+    * EdgeExtraction.hubPathCount: the caps must never truncate silently.
+    * Run it beside the pair query when tuning `maxShingleDF`; a non-tiny
+    * count means boilerplate shingles are being excluded from similarity
+    * evidence and sizes, and thresholds may want revisiting. */
+  def hubShingleCount(docs: DataFrame, n: Int = 3, maxShingleDF: Int = 1000,
+                      idCol: String = "doc_id", textCol: String = "text"): Long =
+    shingleTable(docs, idCol, textCol, n)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDF).count()
+
+  /** Number of hub winnowing fingerprints a given df cap drops
+    * (winnowOverlapPairs skew guard) — same observability contract. */
+  def hubFingerprintCount(docs: DataFrame, k: Int = 3, w: Int = 4,
+                          maxFpDF: Int = 1000, idCol: String = "doc_id",
+                          textCol: String = "text"): Long =
+    winnowFingerprints(docs, k, w, idCol, textCol)
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxFpDF).count()
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signatures: numHashes independent min-aggregates over the

@@ -100,6 +100,25 @@ class WinnowContainmentSpec extends SparkSpec {
     assert(pairs((1L, 4L)) == fps1)
   }
 
+  test("hub-cap observability: hook counts exactly what the df caps drop") {
+    // 6 docs share one boilerplate sentence -> its shingles/fingerprints
+    // have df >= 6; two unique docs stay under any cap
+    val hubText = "the shared boilerplate sentence repeated across many documents here"
+    val docs = ((0L until 6L).map(i => (i, s"$hubText unique$i word$i extra$i")) ++
+      Seq((10L, "entirely different content one"), (11L, "entirely different content two")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.hubShingleCount(docs, maxShingleDF = 5)
+    val uncapped = Dedup.hubShingleCount(docs, maxShingleDF = 1000)
+    // exactly the shingles fully inside the shared sentence exceed df=5
+    val expected = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      .groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") > 5).count()
+    assert(capped == expected && capped > 0)
+    assert(uncapped == 0)
+    val fpCapped = Dedup.hubFingerprintCount(docs, maxFpDF = 5)
+    val fpUncapped = Dedup.hubFingerprintCount(docs, maxFpDF = 1000)
+    assert(fpCapped > 0 && fpUncapped == 0)
+  }
+
   test("short docs (< w grams) emit exactly the global-min fingerprint") {
     val tiny = Seq((9L, "only two")).toDF("doc_id", "text")
     val fps = Dedup.winnowFingerprints(tiny).collect()
