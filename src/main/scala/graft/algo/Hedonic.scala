@@ -374,6 +374,27 @@ object Hedonic {
         col("bestComm"), gate.as("doMove"))
   }
 
+  /** Delta-transport variant of stepPlanPackedIdx (the production
+    * driver-state plan): one Payload broadcast per round — base snapshot
+    * handle + cumulative overrides — instead of fresh O(V) comms/sizes
+    * broadcasts. Decision-identical (same kHedonicIdx kernel tail;
+    * PackedSpec pins it). */
+  private[graft] def stepPlanPackedIdxDelta(
+      pidx: graft.graph.PackedIdxAdj,
+      stateR: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.DeltaState.Payload]],
+      alpha: Double,
+      gate: org.apache.spark.sql.Column,
+      emitPos: Boolean = false): DataFrame = {
+    val wtsOpt = if (pidx.weighted) Some(col("wts")) else None
+    pidx.df
+      .select(col("id"), col("myIdx"),
+        PackedKernels.hedonicDecideIdxDelta(col("myIdx"), col("nbrs"), wtsOpt,
+          stateR, alpha).as("bestComm"))
+      .filter(col("bestComm").isNotNull)
+      .select(if (emitPos) col("myIdx") else col("id"),
+        col("bestComm"), gate.as("doMove"))
+  }
+
   /** M4 one-pass hedonic improvement at alpha = 0 (reference
     * `community_onepass_improvement_hedonic`, hedonic/__init__.py:282-292):
     * preferred communities are computed against the INITIAL membership for
@@ -609,8 +630,6 @@ object Hedonic {
     import graft.util.StateMap
     val commR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
       StateMap.LongLongMap]](null)
-    val commArrR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
-      Array[Long]]](null)
     val sizeR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
       StateMap.LongLongMap]](null)
     val roundR = new StateMap.Ref[Integer](Integer.valueOf(0))
@@ -636,9 +655,14 @@ object Hedonic {
         if (ownsPack) packed.unpersist()
         Some(pidx)
       } else None
+    // Delta transport (indexed path): the per-round broadcast is a small
+    // Payload (base handle + cumulative overrides) — see DeltaState. The
+    // hash path keeps bare-map broadcasts (hub graphs; ids aren't dense).
+    val stateR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      graft.util.DeltaState.Payload]](null)
     val stepDf = pidxOpt match {
       case Some(pidx) =>
-        stepPlanPackedIdx(pidx, commArrR, sizeR, alpha, gate, emitPos = true)
+        stepPlanPackedIdxDelta(pidx, stateR, alpha, gate, emitPos = true)
       case None => stepPlanPacked(packed, commR, sizeR, alpha, gate)
     }
     // Indexed path: collect wanter rows as per-partition PRIMITIVE arrays
@@ -660,23 +684,63 @@ object Hedonic {
         Iterator.single((pb.result(), cb.result(), mb.result()))
       })
       else None
+    // Community sizes maintained INCREMENTALLY (O(moved) per round) — the
+    // old per-round O(V) rebuild was part of the cluster-invariant
+    // envelope the N->4N efficiency target punishes.
+    val driverSizes = new scala.collection.mutable.LongMap[Long](n * 2)
+    locally {
+      var j = 0
+      while (j < n) {
+        driverSizes(comms(j)) = driverSizes.getOrElse(comms(j), 0L) + 1L
+        j += 1
+      }
+    }
+    // Delta-transport bookkeeping (indexed path): cumulative ABSOLUTE
+    // overrides since the last full base snapshot.
+    val runId = graft.util.DeltaState.newRunId()
+    var baseBcast: org.apache.spark.broadcast.Broadcast[
+      graft.util.DeltaState.FullState] = null
+    var baseEpoch = startStep
+    val cumPos = new scala.collection.mutable.LongMap[Long]()  // pos -> comm
+    val cumSizes = new scala.collection.mutable.LongMap[Long]() // comm -> size
+    def sizesArrays(): (Array[Long], Array[Long]) = {
+      val ks = new Array[Long](driverSizes.size)
+      val vs = new Array[Long](driverSizes.size)
+      var j = 0
+      driverSizes.foreachEntry { (k, v) => ks(j) = k; vs(j) = v; j += 1 }
+      (ks, vs)
+    }
     var metrics = Vector.empty[RunMetrics]
     var superstep = startStep
     var converged = false
     while (!converged && superstep < cfg.maxSupersteps) {
       val t0 = System.nanoTime()
-      val sizeMap = new scala.collection.mutable.LongMap[Long](n * 2)
-      var j = 0
-      while (j < n) {
-        sizeMap(comms(j)) = sizeMap.getOrElse(comms(j), 0L) + 1L
-        j += 1
-      }
       val tSizes = System.nanoTime()
-      // clone: local mode hands tasks the broadcast OBJECT itself; the
-      // driver mutates comms right after collect, so ship a copy.
-      if (useIdx) commArrR.value = sc.broadcast(comms.clone())
-      else commR.value = sc.broadcast(StateMap.longLong(ids, comms, n))
-      sizeR.value = sc.broadcast(StateMap.longLong(sizeMap))
+      if (useIdx) {
+        // refresh the base when the cumulative delta stops being "small";
+        // no job is in flight here, so destroying the old base is safe.
+        if (baseBcast == null || cumPos.size > n / 4) {
+          val (ks, vs) = sizesArrays()
+          val nb = sc.broadcast(new graft.util.DeltaState.FullState(comms.clone(), ks, vs))
+          if (baseBcast != null) baseBcast.destroy()
+          baseBcast = nb
+          baseEpoch = superstep
+          cumPos.clear(); cumSizes.clear()
+        }
+        val dp = new Array[Int](cumPos.size)
+        val dc = new Array[Long](cumPos.size)
+        var j = 0
+        cumPos.foreachEntry { (p, c) => dp(j) = p.toInt; dc(j) = c; j += 1 }
+        val sk = new Array[Long](cumSizes.size)
+        val sv = new Array[Long](cumSizes.size)
+        j = 0
+        cumSizes.foreachEntry { (k, v) => sk(j) = k; sv(j) = v; j += 1 }
+        stateR.value = sc.broadcast(new graft.util.DeltaState.Payload(
+          runId, superstep, baseEpoch, baseBcast, dp, dc, sk, sv))
+      } else {
+        commR.value = sc.broadcast(StateMap.longLong(ids, comms, n))
+        sizeR.value = sc.broadcast(StateMap.longLong(driverSizes))
+      }
       roundR.value = Integer.valueOf(superstep)
       val tLocal = System.nanoTime()
       // Every collected row is a wanter (wants = true pre-filtered in-plan);
@@ -686,11 +750,27 @@ object Hedonic {
       var moved = 0L
       var nRows = 0L
       var tJob = 0L
+      // applyMove: state + incremental sizes (+ delta bookkeeping on the
+      // indexed path) in one place — the absolute size entries make the
+      // executor-side application idempotent (DeltaState scaladoc).
+      @inline def applyMove(at: Int, c: Long): Unit = {
+        val old = comms(at)
+        if (old != c) {
+          comms(at) = c
+          val so = driverSizes(old) - 1L
+          if (so == 0L) driverSizes.remove(old) else driverSizes(old) = so
+          driverSizes(c) = driverSizes.getOrElse(c, 0L) + 1L
+          if (useIdx) {
+            cumPos(at.toLong) = c
+            cumSizes(old) = so
+            cumSizes(c) = driverSizes(c)
+          }
+        }
+      }
       fastRdd match {
         case Some(rdd) =>
           val parts = rdd.collect()
-          commArrR.value.destroy()
-          sizeR.value.destroy()
+          stateR.value.destroy()
           tJob = System.nanoTime()
           var p = 0
           while (p < parts.length) {
@@ -701,7 +781,7 @@ object Hedonic {
               val at = pos(k)
               if (at >= 0) { // positions outside the state table drop, as before
                 wanted += 1
-                if (mv(k)) { moved += 1; comms(at) = cs(k) }
+                if (mv(k)) { moved += 1; applyMove(at, cs(k)) }
               }
               k += 1
             }
@@ -719,7 +799,7 @@ object Hedonic {
             idx.get(r.getLong(0)) match { // ids outside the state table drop
               case Some(at) =>
                 wanted += 1
-                if (r.getBoolean(2)) { moved += 1; comms(at) = r.getLong(1) }
+                if (r.getBoolean(2)) { moved += 1; applyMove(at, r.getLong(1)) }
               case None => ()
             }
             k += 1
@@ -741,6 +821,7 @@ object Hedonic {
       converged = wanted == 0L
       superstep += 1
     }
+    if (baseBcast != null) baseBcast.destroy()
     pidxOpt match {
       case Some(pidx) => pidx.unpersist()
       case None       => if (ownsPack) packed.unpersist()

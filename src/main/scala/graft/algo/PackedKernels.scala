@@ -586,6 +586,68 @@ object PackedKernels {
         wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
   }
 
+  /** Delta-transport twin of HedonicDecideIdxE: the per-round broadcast
+    * carries a DeltaState.Payload (base snapshot handle + cumulative
+    * overrides) instead of the bare arrays; the resolver reconstructs —
+    * usually in place, O(delta) — once per task, then the kernel tail is
+    * IDENTICAL (same kHedonicIdx), so decisions are bitwise-equal to the
+    * bare-array plan (PackedSpec pins this). */
+  private case class HedonicDecideIdxDeltaE(idxE: Expression, nbrsE: Expression,
+      wtsE: Option[Expression],
+      stateB: Ref[org.apache.spark.broadcast.Broadcast[graft.util.DeltaState.Payload]],
+      alpha: Double)
+      extends Expression {
+    override def children: Seq[Expression] = Seq(idxE, nbrsE) ++ wtsE
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val mi = idxE.eval(input)
+      val nb = nbrsE.eval(input)
+      if (mi == null || nb == null) null
+      else {
+        val p = stateB.value.value
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kHedonicIdx(mi.asInstanceOf[Int], nb.asInstanceOf[ArrayData], w,
+          graft.util.DeltaState.comms(p), graft.util.DeltaState.sizes(p), alpha)
+        if (v == NULLV) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stateRef", stateB, refCls)
+      val bc = "((org.apache.spark.broadcast.Broadcast) " + ref + ".value()).value()"
+      val cArr = ctx.addMutableState("long[]", "stateArr",
+        v => s"$v = graft.util.DeltaState.comms($bc);")
+      val sMap = ctx.addMutableState(llCls, "stateMap",
+        v => s"$v = ($llCls) graft.util.DeltaState.sizes($bc);")
+      val aRef = ctx.addReferenceObj("alpha", java.lang.Double.valueOf(alpha), "java.lang.Double")
+      val aVar = ctx.addMutableState("double", "alphaVal", v => s"$v = $aRef.doubleValue();")
+      val idxG = idxE.genCode(ctx)
+      val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
+      ev.copy(code = code"""
+        ${idxG.code}
+        ${nbG.code}
+        $wCode
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${idxG.isNull} && !${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kHedonicIdx(
+            ${idxG.value}, ${nbG.value}, $wVal, $cArr, $sMap, $aVar);
+          ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(idxE = newChildren(0), nbrsE = newChildren(1),
+        wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
+  }
+
   private case class LabelDecideIdxE(idxE: Expression, nbrsE: Expression,
       wtsE: Option[Expression],
       labB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]])
@@ -753,6 +815,12 @@ object PackedKernels {
       sizeB: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]], alpha: Double): Column =
     EU.column(HedonicDecideIdxE(EU.expression(myIdx), EU.expression(nbrs),
       wts.map(EU.expression), commB, sizeB, alpha))
+
+  def hedonicDecideIdxDelta(myIdx: Column, nbrs: Column, wts: Option[Column],
+      stateB: Ref[org.apache.spark.broadcast.Broadcast[graft.util.DeltaState.Payload]],
+      alpha: Double): Column =
+    EU.column(HedonicDecideIdxDeltaE(EU.expression(myIdx), EU.expression(nbrs),
+      wts.map(EU.expression), stateB, alpha))
 
   def labelDecideIdx(myIdx: Column, nbrs: Column, wts: Option[Column],
       labB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]]): Column =

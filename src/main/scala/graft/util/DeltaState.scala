@@ -1,0 +1,133 @@
+package graft.util
+
+import org.apache.spark.broadcast.Broadcast
+import java.util.concurrent.ConcurrentHashMap
+
+/** Delta transport for the broadcast-state superstep loops.
+  *
+  * The per-superstep driver envelope (BASELINE.md Legs B: ~0.9 s at the
+  * 1-core legs) is dominated by O(V) per-round costs that do not shrink
+  * with cluster size: publishing a fresh V-long community array + a
+  * C-entry size map to the block manager every round, each executor
+  * fetching and deserializing them, and the driver rebuilding the size
+  * map by scanning all V vertices. But a superstep changes only the MOVED
+  * vertices — late rounds move a few hundred of 10^6+.
+  *
+  * So the per-round broadcast becomes a [[DeltaState.Payload]]: a handle
+  * to a FULL base snapshot (republished only when the accumulated delta
+  * grows past `V/4`) plus the cumulative ABSOLUTE overrides since that
+  * base (position -> community, community -> size). Absolute overrides
+  * make application idempotent: an executor holding any reconstruction of
+  * an earlier epoch against the same base can be brought to the current
+  * epoch by just (re)applying the override list in place — O(delta), no
+  * clone. A fresh executor (or a straggler/retry task for an older epoch)
+  * falls back to clone-base-and-apply — always correct, never dependent
+  * on cache state.
+  *
+  * Cache safety: rounds execute sequentially (job r completes before the
+  * driver publishes round r+1), so when the in-place fast path mutates
+  * the cached arrays no running task can still be reading the older
+  * epoch; a re-submitted task for an older epoch takes the clone path
+  * (epoch mismatch) and leaves the cache alone. Size-map keys can only
+  * disappear over a run (a community emptied by hedonic moves can never
+  * be re-entered: it has no members, hence no neighbors, hence is never a
+  * candidate), so every override key exists in any base snapshot — the
+  * resolver still guards the slot lookup and falls back to a rebuild if
+  * that invariant ever broke.
+  */
+object DeltaState {
+
+  /** Full state snapshot (the delta base). Sizes ship as parallel arrays
+    * and are hashed executor-side once per base — shipping the map's
+    * internal 2x-capacity arrays would double the payload. */
+  final class FullState(
+      val comms: Array[Long],
+      val sizeKeys: Array[Long],
+      val sizeVals: Array[Long]) extends Serializable
+
+  /** Per-round broadcast payload: base handle + cumulative absolute
+    * overrides since the base epoch. */
+  final class Payload(
+      val runId: Long,
+      val epoch: Int,
+      val baseEpoch: Int,
+      val base: Broadcast[FullState],
+      val pos: Array[Int],
+      val comms: Array[Long],
+      val sizeKeys: Array[Long],
+      val sizeVals: Array[Long]) extends Serializable
+
+  private final class Entry(
+      val baseEpoch: Int,
+      var epoch: Int,
+      val comms: Array[Long],
+      val sizes: StateMap.LongLongMap)
+
+  // executor-global reconstruction cache, one entry per live run; bounded
+  // by evicting the oldest runs past MAX_RUNS (an executor outliving many
+  // runs would otherwise pin V-long arrays forever).
+  private val MAX_RUNS = 4
+  private val cache = new ConcurrentHashMap[Long, Entry]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+
+  private def applyOverrides(e: Entry, p: Payload): Boolean = {
+    val n = p.pos.length
+    var i = 0
+    while (i < n) { e.comms(p.pos(i)) = p.comms(i); i += 1 }
+    val m = p.sizeKeys.length
+    var j = 0
+    while (j < m) {
+      val s = e.sizes.slot(p.sizeKeys(j))
+      if (s < 0) return false // key absent from base: invariant broke, rebuild
+      e.sizes.vals(s) = p.sizeVals(j)
+      j += 1
+    }
+    e.epoch = p.epoch
+    true
+  }
+
+  private def rebuild(p: Payload): Entry = {
+    val full = p.base.value
+    val comms = full.comms.clone()
+    val sizes = StateMap.longLong(full.sizeKeys, full.sizeVals, full.sizeKeys.length)
+    val e = new Entry(p.baseEpoch, p.baseEpoch, comms, sizes)
+    if (!applyOverrides(e, p))
+      throw new IllegalStateException(
+        s"DeltaState: size override key missing from base epoch ${p.baseEpoch}")
+    e
+  }
+
+  private def resolve(p: Payload): Entry = {
+    val cached = cache.get(p.runId)
+    if (cached != null && cached.epoch == p.epoch && cached.baseEpoch == p.baseEpoch)
+      return cached
+    cache.synchronized {
+      val e = cache.get(p.runId)
+      if (e != null && e.epoch == p.epoch && e.baseEpoch == p.baseEpoch) return e
+      if (e != null && e.baseEpoch == p.baseEpoch && e.epoch < p.epoch &&
+          applyOverrides(e, p)) return e
+      if (e != null && e.baseEpoch == p.baseEpoch && e.epoch > p.epoch)
+        return rebuild(p) // stale retry: serve fresh, keep the newer cache
+      val fresh = rebuild(p)
+      if (cache.put(p.runId, fresh) == null) {
+        order.add(java.lang.Long.valueOf(p.runId))
+        while (cache.size() > MAX_RUNS) {
+          val old = order.poll()
+          if (old != null) cache.remove(old.longValue()) else return fresh
+        }
+      }
+      fresh
+    }
+  }
+
+  /** Kernel entry points (called from generated code / interpreted eval —
+    * the payload arrives as the broadcast's value, untyped). */
+  def comms(payload: AnyRef): Array[Long] = resolve(payload.asInstanceOf[Payload]).comms
+  def sizes(payload: AnyRef): StateMap.LongLongMap =
+    resolve(payload.asInstanceOf[Payload]).sizes
+
+  private val runIds = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Fresh run id, unique within the driver JVM (executors only ever see
+    * ids minted here). */
+  def newRunId(): Long = runIds.incrementAndGet()
+}

@@ -166,6 +166,56 @@ class PackedSpec extends SparkSpec {
     pidx.unpersist(); p.unpersist()
   }
 
+  test("delta-transport plan ≡ bare-array indexed plan (full base + in-place delta epochs)") {
+    import graft.util.DeltaState
+    val e = edgesOf(Fixtures.zachary)
+    val symDf = GraphOps.symmetrize(e).select("src", "dst")
+    val ids = stateSeq.map(_._1).toArray
+    val comms = stateSeq.map(_._2).toArray
+    val n = ids.length
+    val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
+    val alpha = 0.12
+    val gate = graft.util.Portable.parityGate(col("id"), 3)
+    val p = PackedAdjacency.build(symDf, "src")
+    val pidx = PackedAdjacency.reindex(p, idxB)
+    def sizeArrays(st: Seq[(Long, Long)]): (Array[Long], Array[Long]) = {
+      val s = sizesOf(st)
+      (s.map(_._1).toArray, s.map(_._2).toArray)
+    }
+    // epoch 0: full base, no overrides
+    val runId = DeltaState.newRunId()
+    val (sk0, sv0) = sizeArrays(stateSeq)
+    val base = sc.broadcast(new DeltaState.FullState(comms.clone(), sk0, sv0))
+    val stateB = new StateMap.Ref(sc.broadcast(new DeltaState.Payload(
+      runId, 0, 0, base, Array.empty[Int], Array.empty[Long],
+      Array.empty[Long], Array.empty[Long])))
+    val commArrB = new StateMap.Ref(sc.broadcast(comms.clone()))
+    val sizeB = new StateMap.Ref(sc.broadcast(llMap(sizesOf(stateSeq))))
+    val expect0 = rows3(Hedonic.stepPlanPackedIdx(pidx, commArrB, sizeB, alpha, gate))
+    val got0 = rows3(Hedonic.stepPlanPackedIdxDelta(pidx, stateB, alpha, gate))
+    assert(got0 == expect0)
+    // epoch 1: move ids(0) to ids(5)'s community via ABSOLUTE overrides —
+    // exercises the executor-side in-place application (the epoch-0
+    // reconstruction is already cached in this JVM)
+    val moved = stateSeq.updated(0, (ids(0), comms(5)))
+    val comms1 = moved.map(_._2).toArray
+    val (sk1raw, sv1raw) = sizeArrays(moved)
+    val changedKeys = Seq(comms(0), comms(5)).distinct
+    val overFixed = changedKeys.map { k => // absolute new sizes (0 if gone)
+      val i = sk1raw.indexOf(k)
+      k -> (if (i < 0) 0L else sv1raw(i))
+    }
+    stateB.value = sc.broadcast(new DeltaState.Payload(
+      runId, 1, 0, base, Array(0), Array(comms(5)),
+      overFixed.map(_._1).toArray, overFixed.map(_._2).toArray))
+    val commArrB1 = new StateMap.Ref(sc.broadcast(comms1.clone()))
+    val sizeB1 = new StateMap.Ref(sc.broadcast(llMap(sizesOf(moved))))
+    val expect1 = rows3(Hedonic.stepPlanPackedIdx(pidx, commArrB1, sizeB1, alpha, gate))
+    val got1 = rows3(Hedonic.stepPlanPackedIdxDelta(pidx, stateB, alpha, gate))
+    assert(got1 == expect1)
+    pidx.unpersist(); p.unpersist()
+  }
+
   test("packed single-segment superstep plans have zero shuffle exchanges") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
