@@ -197,6 +197,21 @@ object LabelPropagation {
       .select(col("id"), col("bestLabel"), gate.as("g"))
   }
 
+  /** Delta-transport twin (see Hedonic.stepPlanPackedIdxDelta /
+    * DeltaState): labels ride the Payload's comms lane; decisions use the
+    * same kLabelIdx tail, so results are identical (PackedSpec pins). */
+  private[graft] def stepPlanPackedIdxDelta(pidx: graft.graph.PackedIdxAdj,
+      stateR: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[graft.util.DeltaState.Payload]],
+      gate: org.apache.spark.sql.Column): DataFrame = {
+    val wcol = if (pidx.weighted) Some(col("wts")) else None
+    pidx.df
+      .select(col("id"),
+        PackedKernels.labelDecideIdxDelta(col("myIdx"), col("nbrs"), wcol, stateR)
+          .as("bestLabel"))
+      .filter(col("bestLabel").isNotNull)
+      .select(col("id"), col("bestLabel"), gate.as("g"))
+  }
+
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
       packed: graft.graph.PackedAdj, init: DataFrame, maxIter: Int,
       parityGating: Boolean, weighted: Boolean,
@@ -218,8 +233,6 @@ object LabelPropagation {
     val sc = spark.sparkContext
     val labR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
       StateMap.LongLongMap]](null)
-    val labArrR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
-      Array[Long]]](null)
     val roundR = new StateMap.Ref[Integer](Integer.valueOf(0))
     val gate =
       if (parityGating) graft.util.Portable.parityGate(col("id"), StateMap.intRef(roundR))
@@ -235,18 +248,40 @@ object LabelPropagation {
         if (ownsPack) packed.unpersist()
         Some(pidx)
       } else None
+    // Delta transport (indexed path; labels in the Payload's comms lane,
+    // size lane empty) — see DeltaState and Hedonic.runDriverState.
+    val stateR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[
+      graft.util.DeltaState.Payload]](null)
     val stepDf = pidxOpt match {
-      case Some(pidx) => stepPlanPackedIdx(pidx, labArrR, gate)
+      case Some(pidx) => stepPlanPackedIdxDelta(pidx, stateR, gate)
       case None       => stepPlanPacked(packed, labR, gate)
     }
+    val runId = graft.util.DeltaState.newRunId()
+    var baseBcast: org.apache.spark.broadcast.Broadcast[
+      graft.util.DeltaState.FullState] = null
+    var baseEpoch = 0
+    val cumPos = new scala.collection.mutable.LongMap[Long]() // pos -> label
+    val emptyL = Array.empty[Long]
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      if (useIdx) labArrR.value = sc.broadcast(labs.clone())
-      else labR.value = sc.broadcast(StateMap.longLong(ids, labs, n))
+      if (useIdx) {
+        if (baseBcast == null || cumPos.size > n / 4) {
+          val nb = sc.broadcast(new graft.util.DeltaState.FullState(
+            labs.clone(), emptyL, emptyL))
+          if (baseBcast != null) baseBcast.destroy()
+          baseBcast = nb; baseEpoch = iter; cumPos.clear()
+        }
+        val dp = new Array[Int](cumPos.size)
+        val dc = new Array[Long](cumPos.size)
+        var j = 0
+        cumPos.foreachEntry { (p, c) => dp(j) = p.toInt; dc(j) = c; j += 1 }
+        stateR.value = sc.broadcast(new graft.util.DeltaState.Payload(
+          runId, iter, baseEpoch, baseBcast, dp, dc, emptyL, emptyL))
+      } else labR.value = sc.broadcast(StateMap.longLong(ids, labs, n))
       roundR.value = Integer.valueOf(iter)
       val rows = stepDf.collect()
-      if (useIdx) labArrR.value.destroy() else labR.value.destroy()
+      if (useIdx) stateR.value.destroy() else labR.value.destroy()
       // Every collected row is a changer (best != current, filtered
       // in-plan) — identical counters and state to the old full collect.
       var wanted = 0L
@@ -256,7 +291,10 @@ object LabelPropagation {
         idx.get(r.getLong(0)) match {
           case Some(at) =>
             wanted += 1
-            if (r.getBoolean(2)) labs(at) = r.getLong(1)
+            if (r.getBoolean(2)) {
+              labs(at) = r.getLong(1)
+              if (useIdx) cumPos(at.toLong) = r.getLong(1)
+            }
           case None => ()
         }
         k += 1
@@ -264,6 +302,7 @@ object LabelPropagation {
       done = wanted == 0L
       iter += 1
     }
+    if (baseBcast != null) baseBcast.destroy()
     pidxOpt match {
       case Some(pidx) => pidx.unpersist()
       case None       => if (ownsPack) packed.unpersist()

@@ -648,6 +648,58 @@ object PackedKernels {
         wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
   }
 
+  /** Delta-transport twin of LabelDecideIdxE (labels ride
+    * DeltaState.Payload.comms; the size lane is unused/empty). */
+  private case class LabelDecideIdxDeltaE(idxE: Expression, nbrsE: Expression,
+      wtsE: Option[Expression],
+      stateB: Ref[org.apache.spark.broadcast.Broadcast[graft.util.DeltaState.Payload]])
+      extends Expression {
+    override def children: Seq[Expression] = Seq(idxE, nbrsE) ++ wtsE
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def eval(input: InternalRow): Any = {
+      val mi = idxE.eval(input)
+      val nb = nbrsE.eval(input)
+      if (mi == null || nb == null) null
+      else {
+        val w = wtsE.map(_.eval(input).asInstanceOf[ArrayData]).orNull
+        val v = kLabelIdx(mi.asInstanceOf[Int], nb.asInstanceOf[ArrayData], w,
+          graft.util.DeltaState.comms(stateB.value.value))
+        if (v == NULLV) null else v
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stateRef", stateB, refCls)
+      val bc = "((org.apache.spark.broadcast.Broadcast) " + ref + ".value()).value()"
+      val lArr = ctx.addMutableState("long[]", "stateArr",
+        v => s"$v = graft.util.DeltaState.comms($bc);")
+      val idxG = idxE.genCode(ctx)
+      val nbG = nbrsE.genCode(ctx)
+      val adCls = classOf[ArrayData].getName
+      val (wCode, wVal) = wtsE match {
+        case Some(w) =>
+          val g = w.genCode(ctx)
+          (g.code, s"($adCls)(${g.isNull} ? null : ${g.value})")
+        case None => (code"", s"($adCls) null")
+      }
+      ev.copy(code = code"""
+        ${idxG.code}
+        ${nbG.code}
+        $wCode
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${idxG.isNull} && !${nbG.isNull}) {
+          ${ev.value} = graft.algo.PackedKernels.kLabelIdx(
+            ${idxG.value}, ${nbG.value}, $wVal, $lArr);
+          ${ev.isNull} = ${ev.value} == java.lang.Long.MIN_VALUE;
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(idxE = newChildren(0), nbrsE = newChildren(1),
+        wtsE = if (wtsE.isDefined) Some(newChildren(2)) else None)
+  }
+
   private case class LabelDecideIdxE(idxE: Expression, nbrsE: Expression,
       wtsE: Option[Expression],
       labB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]])
@@ -826,6 +878,11 @@ object PackedKernels {
       labB: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]]): Column =
     EU.column(LabelDecideIdxE(EU.expression(myIdx), EU.expression(nbrs),
       wts.map(EU.expression), labB))
+
+  def labelDecideIdxDelta(myIdx: Column, nbrs: Column, wts: Option[Column],
+      stateB: Ref[org.apache.spark.broadcast.Broadcast[graft.util.DeltaState.Payload]]): Column =
+    EU.column(LabelDecideIdxDeltaE(EU.expression(myIdx), EU.expression(nbrs),
+      wts.map(EU.expression), stateB))
 
   def prContribIdx(nbrs: Column, wts: Option[Column],
       qB: Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]],

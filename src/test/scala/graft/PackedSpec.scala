@@ -213,6 +213,17 @@ class PackedSpec extends SparkSpec {
     val expect1 = rows3(Hedonic.stepPlanPackedIdx(pidx, commArrB1, sizeB1, alpha, gate))
     val got1 = rows3(Hedonic.stepPlanPackedIdxDelta(pidx, stateB, alpha, gate))
     assert(got1 == expect1)
+    // LPA delta twin (labels in the comms lane, size lane empty): parity
+    // against the bare-array plan at the SAME delta epoch
+    val labArrB1 = new StateMap.Ref(sc.broadcast(comms1.clone()))
+    val expectL = rows3(LabelPropagation.stepPlanPackedIdx(pidx, labArrB1, gate))
+    val lBase = sc.broadcast(new DeltaState.FullState(comms.clone(),
+      Array.empty[Long], Array.empty[Long]))
+    val lState = new StateMap.Ref(sc.broadcast(new DeltaState.Payload(
+      DeltaState.newRunId(), 1, 0, lBase, Array(0), Array(comms(5)),
+      Array.empty[Long], Array.empty[Long])))
+    val gotL = rows3(LabelPropagation.stepPlanPackedIdxDelta(pidx, lState, gate))
+    assert(gotL == expectL)
     pidx.unpersist(); p.unpersist()
   }
 
