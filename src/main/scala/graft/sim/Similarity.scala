@@ -199,7 +199,11 @@ object Similarity {
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCells: Int = 8, nProbe: Int = 2,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val exact = topK(corpus, queries, k, idCol, vecCol).select(col("qid"), col("nid"))
+    // pin the k-x-queries exact arm: both the anchor count and the hit
+    // semi-join consume it, and unpinned each re-ran the full broadcast
+    // NLJ scan over the corpus
+    val exact = graft.io.Iterate.pin(
+      topK(corpus, queries, k, idCol, vecCol).select(col("qid"), col("nid")))
     val approx = ivfTopK(corpus, queries, k, nCells, nProbe, idCol, vecCol)
       .select(col("qid"), col("nid"))
     val ex = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
