@@ -37,11 +37,21 @@ object HedonicFrontier {
     val sym = GraphOps.pinnedSym(edges, "src")
     val edgeCount = sym.count()
 
-    var members = init.select("id", "community").transform(graft.io.Iterate.pin)
-    var frontier = members.select("id").transform(graft.io.Iterate.pin) // all active at start
+    // Three ONE-JOB pins per superstep (was five jobs: the mover count and
+    // frontier count each ran their own scalar-aggregate job; they now ride
+    // the pinning pass as accumulators — Iterate.pinSums), and each round
+    // releases the previous round's caches once the new state is
+    // materialized (the block manager holds O(1) state copies, not
+    // O(supersteps)).
+    import graft.io.Iterate
+    var membersPin = Iterate.pinSums(init.select("id", "community"), Nil)
+    var members = membersPin.df
+    var frontierPin = Iterate.pinSums(
+      members.select("id").withColumn("act", lit(true)), Seq("act")) // all active at start
+    var frontier = frontierPin.df
     var metrics = Vector.empty[RunMetrics]
     var superstep = 0
-    var frontierSize = frontier.count()
+    var frontierSize = frontierPin.sums(0).toLong
 
     while (frontierSize > 0 && superstep < cfg.maxSupersteps) {
       val t0 = System.nanoTime()
@@ -70,42 +80,56 @@ object HedonicFrontier {
       // ONE materialization of the whole gather->argmax chain per superstep;
       // movers / gated stragglers / membership update / new frontier all
       // derive from this cached table instead of recomputing the chain.
-      val decided = p.groupBy("id").agg(
-          max(struct(col("payoff"), col("isCur").cast("int").as("ic"),
-            (-col("community")).as("negc"), col("community").as("comm"))).as("b"),
-          max(when(col("isCur"), col("payoff"))).as("curPayoff"))
-        .select(col("id"), col("b.comm").as("newComm"),
-          (col("b.payoff") > col("curPayoff")).as("wants"), gate.as("gated"))
-        .transform(graft.io.Iterate.pin)
+      // The mover count rides the pin as an accumulator (isMover sum).
+      val decidedPin = Iterate.pinSums(
+        p.groupBy("id").agg(
+            max(struct(col("payoff"), col("isCur").cast("int").as("ic"),
+              (-col("community")).as("negc"), col("community").as("comm"))).as("b"),
+            max(when(col("isCur"), col("payoff"))).as("curPayoff"))
+          .select(col("id"), col("b.comm").as("newComm"),
+            (col("b.payoff") > col("curPayoff")).as("wants"), gate.as("gated"))
+          .withColumn("isMover", col("wants") && col("gated")),
+        Seq("isMover"))
+      val decided = decidedPin.df
       val movers = decided.filter(col("wants") && col("gated"))
         .select(col("id"), col("newComm"))
-      val nMoved = movers.count()
+      val nMoved = decidedPin.sums(0).toLong
       // stragglers that wanted to move but were gated stay active
       val gatedWanters = decided.filter(col("wants") && !col("gated")).select("id")
 
-      members = members.join(movers, Seq("id"), "left")
-        .select(col("id"), coalesce(col("newComm"), col("community")).as("community"))
-        .transform(graft.io.Iterate.pin)
+      val newMembersPin = Iterate.pinSums(
+        members.join(movers, Seq("id"), "left")
+          .select(col("id"), coalesce(col("newComm"), col("community")).as("community")),
+        Nil)
+      members = newMembersPin.df
 
       // new frontier: movers' neighbors not in the mover's NEW community,
       // plus movers themselves (their own optimum may shift), plus gated
-      // wanters.
+      // wanters. Its count rides the pin.
       val nbrOfMovers = sym
         .join(movers.select(col("id").as("src"), col("newComm")), Seq("src"))
         .join(members.select(col("id").as("dst"), col("community").as("nbrComm")), Seq("dst"))
         .filter(col("nbrComm") =!= col("newComm"))
         .select(col("dst").as("id"))
-      frontier = nbrOfMovers
-        .unionByName(movers.select("id"))
-        .unionByName(gatedWanters)
-        .distinct()
-        .transform(graft.io.Iterate.pin)
-      frontierSize = frontier.count()
+      val newFrontierPin = Iterate.pinSums(
+        nbrOfMovers
+          .unionByName(movers.select("id"))
+          .unionByName(gatedWanters)
+          .distinct()
+          .withColumn("act", lit(true)),
+        Seq("act"))
+      frontier = newFrontierPin.df
+      frontierSize = newFrontierPin.sums(0).toLong
+      // everything downstream is materialized; the previous round's caches
+      // (and this round's decided scratch) are dead
+      membersPin.release(); frontierPin.release(); decidedPin.release()
+      membersPin = newMembersPin; frontierPin = newFrontierPin
       val wallMs = (System.nanoTime() - t0) / 1000000
       metrics :+= RunMetrics(superstep, nMoved, Double.NaN, frontierSize, edgeCount, wallMs)
       superstep += 1
     }
     sym.unpersist()
+    frontierPin.release() // final members stay pinned for the caller
     (members, metrics)
   }
 }
