@@ -526,6 +526,40 @@ object Oracles {
     JOIN sizes y ON idb = y.doc_id
     WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.4"""
 
+  /** Dedup survivorship (Dedup.dedupSurvivors over jaccardPairs >= 0.4):
+    * documents UNION 5 planted exact dups (doc_id + 1e6, same text — the
+    * q_stream_dedup plant, guaranteeing nontrivial clusters at every sf);
+    * duplicate clusters = connected components of the pair graph via the
+    * recursive min-label CTE (the q_cc pattern); cluster = component min,
+    * keep = (doc_id = cluster). */
+  val dupSurvivors: String = {
+    val shingleOverAll = shingleCte.replace("FROM documents)", "FROM alldocs)")
+    s"""WITH RECURSIVE alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+    $shingleOverAll,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT ida, idb FROM inter
+      JOIN sizes x ON ida = x.doc_id
+      JOIN sizes y ON idb = y.doc_id
+      WHERE i * 1.0 / (x.sz + y.sz - i) >= 0.4),
+    dsym AS (SELECT ida AS src, idb AS dst FROM pairs
+             UNION ALL SELECT idb, ida FROM pairs),
+    r(n, l) AS (
+      SELECT doc_id, doc_id FROM alldocs
+      UNION
+      SELECT s.dst, r.l FROM r JOIN dsym s ON r.n = s.src WHERE r.l < s.dst
+    )
+    SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster,
+           (min(l) = n) AS keep
+    FROM r GROUP BY n"""
+  }
+
   /** Directed containment pairs |A∩B|/|A| >= 0.6 over the capped shingle
     * universe — mirrors Dedup.containmentPairs (both directions, a <> b). */
   val containmentPairs: String = s"""WITH $shingleCte,

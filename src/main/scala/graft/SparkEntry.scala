@@ -341,6 +341,16 @@ object SparkEntry {
 
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 0.4)),
 
+    // survivorship: CC clusters over the jaccard pair graph (docs UNION 5
+    // planted exact dups), canonical min-id survivor per cluster
+    "q_dup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val all = d.unionByName(planted)
+      Dedup.dedupSurvivors(all, Dedup.jaccardPairs(all, 0.4))
+    }),
+
     // asymmetric containment (boilerplate/subset dups Jaccard misses)
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir), 0.6)),
 
@@ -568,6 +578,7 @@ object SparkEntry {
     "q_lang_id" -> Oracles.langId,
     "q_bpe_count" -> Oracles.bpeCount(graft.text.Bpe.defaultMerges),
     "q_quality" -> Oracles.quality(TextOps.plantedBadDocs),
+    "q_dup_survivors" -> Oracles.dupSurvivors,
     "q_jaccard_pairs" -> Oracles.jaccardPairs,
     "q_containment" -> Oracles.containmentPairs,
     "q_winnow_fp" -> Oracles.winnowFp,

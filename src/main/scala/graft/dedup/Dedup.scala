@@ -271,6 +271,35 @@ object Dedup {
     out
   }
 
+  /** Survivorship over a near-dup pair table — the step a corpus builder
+    * runs AFTER any pair detector (jaccardPairs / containmentPairs /
+    * minhashPairs / simhashPairs / winnowOverlapPairs all emit the same
+    * (ida, idb) shape): duplicate CLUSTERS are connected components of the
+    * pair graph (near-duplication is not transitive, but dropping
+    * per-component is the standard conservative policy), the canonical
+    * survivor is the cluster's minimum doc id, everything else is
+    * droppable. Docs in no pair are their own singleton cluster and
+    * survive. Component id = component min (ConnectedComponents.run), so
+    * keep == (doc_id == cluster) needs no extra aggregate.
+    * Scale shape: CC is the large/small-star loop over the PAIR table
+    * (tiny next to the corpus), one left join back to docs. */
+  def dedupSurvivors(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id",
+                     aCol: String = "ida", bCol: String = "idb"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .withColumn("weight", lit(1.0))
+      .as[graft.model.Edge]
+    val comps = graft.algo.ConnectedComponents.run(edges)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comps.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .withColumn("keep", col("cluster") === col("doc_id"))
+  }
+
   /** Number of hub shingles a given df cap drops (jaccardPairs /
     * containmentPairs skew guard) — the observability hook, mirroring
     * EdgeExtraction.hubPathCount: the caps must never truncate silently.

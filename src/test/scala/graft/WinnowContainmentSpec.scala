@@ -100,6 +100,23 @@ class WinnowContainmentSpec extends SparkSpec {
     assert(pairs((1L, 4L)) == fps1)
   }
 
+  test("dedupSurvivors: transitive clusters, min-id survivor, singletons kept") {
+    val docs = Seq(1L, 2L, 3L, 7L, 9L).toDF("doc_id")
+    // chain 1-2, 2-3 (near-dup is not transitive; the cluster policy is) + 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("ida", "idb")
+    val got = Dedup.dedupSurvivors(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((1L, false)))
+    assert(got(7L) == ((7L, true)))
+    assert(got(9L) == ((7L, false)))
+    // a doc in no pair is its own surviving singleton
+    val solo = Seq(42L).toDF("doc_id")
+    val s = Dedup.dedupSurvivors(solo, pairs.limit(0)).collect().head
+    assert(s.getLong(1) == 42L && s.getBoolean(2))
+  }
+
   test("hub-cap observability: hook counts exactly what the df caps drop") {
     // 6 docs share one boilerplate sentence -> its shingles/fingerprints
     // have df >= 6; two unique docs stay under any cap
