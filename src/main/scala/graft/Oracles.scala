@@ -375,6 +375,20 @@ object Oracles {
     FROM sym"""
   }
 
+  /** BPE subword pieces in document order (mirrors Bpe.bpeEncode): same
+    * replace chain as bpeCount, then every `_piece_` extracted. */
+  def bpeEncode(merges: Seq[(String, String)]): String = {
+    val base = "regexp_replace(coalesce(list_aggregate(t, 'string_agg', ' '), '')," +
+      " '([a-z0-9])', '_\\1_', 'g')"
+    val chain = merges.foldLeft(base) { case (s, (a, b)) =>
+      s"replace($s, '_${a}__${b}_', '_$a$b" + "_')"
+    }
+    s"""WITH $toksCte,
+    sym AS (SELECT doc_id, regexp_extract_all($chain, '_([a-z0-9]+)_', 1) AS p FROM toks)
+    SELECT doc_id, CAST(generate_subscripts(p, 1) AS BIGINT) AS pos, unnest(p) AS piece
+    FROM sym"""
+  }
+
   val textStats: String = s"""WITH $toksCte,
     base AS (
       SELECT d.doc_id, d.text, t.t,

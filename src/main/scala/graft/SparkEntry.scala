@@ -339,6 +339,13 @@ object SparkEntry {
     "q_bpe_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.bpeCount(col("text")).as("bpe_tokens"))),
 
+    // the actual subword stream (doc order), not just the count
+    "q_bpe_encode" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(graft.text.Bpe.bpeEncode(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("piece"))),
+
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(docs(s, dir), 0.4)),
 
     // survivorship: CC clusters over the jaccard pair graph (docs UNION 5
@@ -577,6 +584,7 @@ object SparkEntry {
     "q_text_stats" -> Oracles.textStats,
     "q_lang_id" -> Oracles.langId,
     "q_bpe_count" -> Oracles.bpeCount(graft.text.Bpe.defaultMerges),
+    "q_bpe_encode" -> Oracles.bpeEncode(graft.text.Bpe.defaultMerges),
     "q_quality" -> Oracles.quality(TextOps.plantedBadDocs),
     "q_dup_survivors" -> Oracles.dupSurvivors,
     "q_jaccard_pairs" -> Oracles.jaccardPairs,

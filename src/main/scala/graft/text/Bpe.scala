@@ -124,12 +124,23 @@ object Bpe {
   private def symbolString(text: Column): Column =
     regexp_replace(array_join(TextOps.tokens(text), " "), "([a-z0-9])", "_$1_")
 
+  private def mergedString(text: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(symbolString(text)) { case (s, (a, b)) =>
+      replace(s, lit(s"_${a}__${b}_"), lit(s"_${a}${b}_"))
+    }
+
   /** BPE token count as one codegen'd column: nested replace chain (one
     * `replace` per learned merge, in order) then delimiters/2. */
   def bpeCount(text: Column, merges: Seq[(String, String)] = defaultMerges): Column = {
-    val merged = merges.foldLeft(symbolString(text)) { case (s, (a, b)) =>
-      replace(s, lit(s"_${a}__${b}_"), lit(s"_${a}${b}_"))
-    }
+    val merged = mergedString(text, merges)
     ((length(merged) - length(replace(merged, lit("_"), lit("")))) / 2).cast("long")
   }
+
+  /** The actual subword pieces, in document order, as array<string> —
+    * every `_piece_` in the merged symbol string (word boundaries carry no
+    * delimiters, so extraction order IS token order). Same codegen'd
+    * replace chain as the count; `bpeCount == size(bpeEncode)` by
+    * construction. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)] = defaultMerges): Column =
+    regexp_extract_all(mergedString(text, merges), lit("_([a-z0-9]+)_"), lit(1))
 }

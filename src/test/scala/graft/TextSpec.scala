@@ -55,6 +55,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == 1 + 2 + 3)
   }
 
+  test("bpeEncode emits the reference piece stream; size equals bpeCount") {
+    import graft.text.Bpe
+    val merges = Seq(("a", "a"), ("a", "b"), ("t", "h"), ("th", "e"))
+    val docs = Seq((1L, "the aaab cat!"), (2L, ""), (3L, "aaaa")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Bpe.bpeEncode(col("text"), merges).as("p"),
+        Bpe.bpeCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+    for ((id, text) <- Seq((1L, "the aaab cat!"), (2L, ""), (3L, "aaaa"))) {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" ").filter(_.nonEmpty)
+      val want = toks.toSeq.flatMap(w => Bpe.applyMerges(w, merges))
+      assert(got(id)._1 == want, s"doc $id")
+      assert(got(id)._2 == want.length.toLong)
+    }
+    assert(got(1L)._1 == Seq("the", "aa", "ab", "c", "a", "t"))
+  }
+
   test("trainOnCorpus is deterministic and its merges compress the corpus") {
     import graft.text.Bpe
     val df = (0L until 50L).map(i => (i, Bpe.seedCorpus)).toDF("doc_id", "text")
