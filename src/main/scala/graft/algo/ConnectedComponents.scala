@@ -58,17 +58,26 @@ object ConnectedComponents {
   }
 
   def run(edges: Dataset[Edge], maxIter: Int = 50): DataFrame = {
-    var pairs = edges.select(col("src"), col("dst")).distinct().transform(Iterate.pin)
+    // Per round: pin + cache-count (pinCount, InternalRow cache — no
+    // row boxing) + the union-distinct job only when the counts already
+    // agree; the previous round's count carries forward (the old loop
+    // recounted it) and the previous cache is released each round.
+    var pairsPin = Iterate.pinCount(edges.select(col("src"), col("dst")).distinct())
+    var pairs = pairsPin.df
+    var nPrev = pairsPin.sums(0).toLong
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val next = smallStar(largeStar(pairs)).transform(Iterate.pin)
+      val nextPin = Iterate.pinCount(smallStar(largeStar(pairs)))
+      val next = nextPin.df
+      val nNext = nextPin.sums(0).toLong
       // Set-equality convergence: |A| == |B| == |A union B|.
-      val nNext = next.count()
-      val nPrev = pairs.count()
       done = nNext == nPrev &&
         next.unionByName(pairs).distinct().count() == nPrev
+      pairsPin.release()
+      pairsPin = nextPin
       pairs = next
+      nPrev = nNext
       iter += 1
     }
     // Fixpoint is a star forest: every pair is (v, componentMin).

@@ -39,8 +39,27 @@ object Iterate {
     * without it a long superstep loop accumulates one cached copy of the
     * state per round in the block manager. */
   final class Pinned private[Iterate] (val df: DataFrame, val sums: Array[Double],
-                                       rdd: RDD[Row]) {
-    def release(): Unit = rdd.unpersist(blocking = false)
+                                       releaseFn: () => Unit) {
+    private[Iterate] def this(df: DataFrame, sums: Array[Double], rdd: RDD[Row]) =
+      this(df, sums, () => rdd.unpersist(blocking = false))
+    def release(): Unit = releaseFn()
+  }
+
+  /** pin + row count + release handle in the INTERNAL-row representation:
+    * same two jobs as `pin` + `count`, but unlike `pinSums` the cache
+    * holds compact InternalRows (pinSums goes through `df.rdd`, which
+    * boxes every row — the right trade for V-row state with counters to
+    * accumulate, measurably the wrong one for E-scale pair tables). */
+  def pinCount(df: DataFrame): Pinned = {
+    val c = df.localCheckpoint(true)
+    // the checkpointed plan is a LogicalRDD over the cached internal RDD —
+    // that RDD is the release handle
+    val internal = c.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val n = c.count() // over the cache, no row conversion
+    new Pinned(c.sparkSession.createDataFrame(c.rdd, c.schema), Array(n.toDouble),
+      () => internal.foreach(_.unpersist(blocking = false)))
   }
 
   /** Materialize + aggregate in ONE Spark job — the superstep fixed-cost
