@@ -98,6 +98,20 @@ object EventStream {
     }
   }
 
+  /** Streaming quality gate: TextOps.qualityVerdict applied per
+    * micro-batch — the whole rule set (length/word-length/symbol/
+    * stopword/repetition/langId) is stateless columnar projection, so it
+    * lifts to a stream with no state store, no watermark, and identical
+    * verdicts to the batch path (EventStreamSpec pins batch ≡ stream).
+    * The ingest-side corpus filter: run it BEFORE the stateful dedup so
+    * junk never occupies dedup state. */
+  def qualityFilterStream(docs: DataFrame,
+                          cfg: graft.text.TextOps.QualityConfig =
+                            graft.text.TextOps.QualityConfig(),
+                          textCol: String = "text"): DataFrame =
+    graft.text.TextOps.qualityVerdict(docs, cfg, textCol)
+      .filter(col("keep"))
+
   /** Running per-key stats via mapGroupsWithState — the custom-state
     * primitive (KeyValueGroupedDataset) for accumulators Spark's built-in
     * windowed aggs can't express: here a cumulative (count, sum) per

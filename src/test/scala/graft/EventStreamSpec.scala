@@ -81,6 +81,27 @@ class EventStreamSpec extends SparkSpec {
     assert(out.toSeq == Seq("aaa", "bbb", "ccc"))
   }
 
+  test("streaming quality gate: stream verdicts match batch; junk dropped at ingest") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val docs = TextOps.plantedBadDocs // 4 bad + 1 good, each rule covered
+    val batchKept = EventStream.qualityFilterStream(docs.toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = EventStream.qualityFilterStream(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("quality_test")
+      .outputMode("append").start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("quality_test").as[Long].collect().toSet
+    q.stop()
+    assert(streamKept == batchKept)
+    assert(streamKept == Set(1000000005L)) // only the good doc survives
+  }
+
   test("batch dedupStream keeps the earliest row per hash") {
     import spark.implicits._
     val docs = Seq((ts(5), "x"), (ts(1), "x"), (ts(2), "y")).toDF("ts", "text")
