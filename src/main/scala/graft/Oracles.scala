@@ -389,6 +389,36 @@ object Oracles {
     FROM sym"""
   }
 
+  /** C4-style line cleaning stats over documents + planted multiline docs
+    * — mirrors TextOps.c4LineStats (keep = trimmed line matches both
+    * '[.!?]$' and '^\\S+(\\s+\\S+){2}'; both engines use partial-match
+    * regex semantics). */
+  def c4Clean(planted: Seq[(Long, String)]): String = {
+    val values = planted.map { case (id, t) =>
+      val lit = t.split("\n", -1).map(l => s"'${l.replace("'", "''")}'")
+        .mkString(" || chr(10) || ")
+      s"(CAST($id AS BIGINT), $lit)"
+    }.mkString(",\n      ")
+    s"""WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT * FROM (VALUES $values) v(doc_id, text)),
+    l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM alldocs),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x -> regexp_matches(trim(x), '[.!?]$$')
+                                 AND regexp_matches(trim(x), '^\\S+(\\s+\\S+){2}')) AS kept
+      FROM l)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CASE WHEN len(lines) > 0
+                THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6)
+                ELSE 0.0 END AS dup_line_frac,
+           sha256(coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')) AS cleaned_sha
+    FROM k"""
+  }
+
   val textStats: String = s"""WITH $toksCte,
     base AS (
       SELECT d.doc_id, d.text, t.t,

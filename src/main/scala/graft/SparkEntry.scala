@@ -333,6 +333,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("drop_reason"), col("keep"))
     }),
 
+    // C4-style line-level cleaning stats (docs UNION planted multiline
+    // rows — organic testdata is single-line, the plants carry the rules)
+    "q_c4_clean" -> ((s, dir) => {
+      import s.implicits._
+      val planted = TextOps.plantedMultilineDocs.toDF("doc_id", "text")
+      val all = docs(s, dir).select(col("doc_id"), col("text")).unionAll(planted)
+      TextOps.c4LineStats(all)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("dup_line_frac"), col("cleaned_sha"))
+    }),
+
     // real BPE token count with the shipped 64-merge tokenizer artifact
     // (trained deterministically on Bpe.seedCorpus); the columnar
     // replace-chain application is mirrored merge-for-merge by the oracle
@@ -587,6 +598,7 @@ object SparkEntry {
     "q_bpe_encode" -> Oracles.bpeEncode(graft.text.Bpe.defaultMerges),
     "q_quality" -> Oracles.quality(TextOps.plantedBadDocs),
     "q_dup_survivors" -> Oracles.dupSurvivors,
+    "q_c4_clean" -> Oracles.c4Clean(TextOps.plantedMultilineDocs),
     "q_jaccard_pairs" -> Oracles.jaccardPairs,
     "q_containment" -> Oracles.containmentPairs,
     "q_winnow_fp" -> Oracles.winnowFp,

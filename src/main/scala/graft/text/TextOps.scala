@@ -141,6 +141,38 @@ object TextOps {
     (1000000004L, "el perro y el gato que viven en la casa de los vecinos juegan por las tardes del verano"),
     (1000000005L, "the quick brown fox jumps over the lazy dog and then it runs back to the barn in the morning"))
 
+  /** C4-style line-level cleaning stats: split on newlines, retain lines
+    * that end in terminal punctuation AND have >= 3 whitespace words (the
+    * C4 recipe's line rules), report per-doc line counts, the duplicate-
+    * line fraction (Gopher's repetition signal at line granularity), and
+    * the sha256 of the cleaned reassembly (compact content witness). Pure
+    * columnar; the per-line predicates are two regexes inside one filter
+    * lambda over a bound lines array (no re-evaluated subtrees — SURVEY
+    * §11.8 trap 1 does not apply to the HOF's input argument). */
+  def c4LineStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?]$") && trim(l).rlike("^\\S+(\\s+\\S+){2}"))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("dup_line_frac",
+        when(size(lines) > 0,
+          round(lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines), 6))
+          .otherwise(0.0))
+      .withColumn("cleaned_sha", sha2(array_join(kept, "\n"), 256))
+  }
+
+  /** Planted multiline docs for q_c4_clean (organic testdata documents are
+    * single-line with no terminal punctuation, so these carry the
+    * nontrivial line-rule structure at every sf). */
+  val plantedMultilineDocs: Seq[(Long, String)] = Seq(
+    (2000000001L,
+      "This is a proper sentence line.\nshort line\nAnother good line ends here!\n" +
+      "no punctuation line three words\nBad? yes ok.\n{ code }\nword"),
+    (2000000002L, "Same line here today.\nSame line here today.\nSame line here today."),
+    (2000000003L, "One good question to keep?\n\n\ntiny.\n"))
+
   /** Order-insensitive document fingerprint: sha256 of the sorted distinct
     * token set. Identical token-set docs collide — the cheap canonical
     * fingerprint for near-dup blocking (rolling-hash winnowing lives in

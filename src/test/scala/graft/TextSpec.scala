@@ -112,6 +112,21 @@ class TextOpsSpec extends SparkSpec {
     assert(v(1000000005L) == (("", true)), s"good doc got ${v(1000000005L)}")
   }
 
+  test("C4 line cleaning: rule-by-rule on the planted multiline docs") {
+    val df = TextOps.plantedMultilineDocs.toDF("doc_id", "text")
+    val got = TextOps.c4LineStats(df)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("dup_line_frac"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 7 lines; keep = proper sentence / ends-here! / Bad? yes ok.
+    assert(got(2000000001L) == ((7L, 3L, 0.0)))
+    // doc 2: 3 identical kept lines; dup fraction 2/3
+    assert(got(2000000002L)._1 == 3L && got(2000000002L)._2 == 3L)
+    assert(math.abs(got(2000000002L)._3 - (1.0 - 1.0 / 3)) < 1e-6)
+    // doc 3: "One good question to keep?" kept; ""/""/"tiny."/"" dropped
+    // (split keeps trailing empties: 5 lines, two distinct empties collapse)
+    assert(got(2000000003L)._2 == 1L)
+  }
+
   test("language ID picks the profile with most markers; und when none") {
     val df = Seq(
       (1L, "the cat and the dog was in that house for it"),
