@@ -419,6 +419,27 @@ object Oracles {
     FROM k"""
   }
 
+  /** Top-bigram repetition signal — mirrors TextOps.topBigramStats
+    * (tie-break: highest count, then lexicographically smallest bigram). */
+  val topBigram: String = s"""WITH $toksCte,
+    tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+    big AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bg, count(*) AS cnt
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, bg, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn
+      FROM big),
+    n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT n.doc_id, n.n_tokens,
+           coalesce(t.bg, '') AS top_bigram,
+           CAST(coalesce(t.cnt, 0) AS BIGINT) AS top_cnt,
+           CASE WHEN n.n_tokens > 0
+                THEN round(coalesce(t.cnt, 0) * 2.0 / n.n_tokens, 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM n LEFT JOIN top t ON n.doc_id = t.doc_id AND t.rn = 1"""
+
   val textStats: String = s"""WITH $toksCte,
     base AS (
       SELECT d.doc_id, d.text, t.t,

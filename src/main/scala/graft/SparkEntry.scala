@@ -333,6 +333,9 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("drop_reason"), col("keep"))
     }),
 
+    // Gopher-style top-bigram repetition signal
+    "q_top_bigram" -> ((s, dir) => TextOps.topBigramStats(docs(s, dir))),
+
     // C4-style line-level cleaning stats (docs UNION planted multiline
     // rows — organic testdata is single-line, the plants carry the rules)
     "q_c4_clean" -> ((s, dir) => {
@@ -599,6 +602,7 @@ object SparkEntry {
     "q_quality" -> Oracles.quality(TextOps.plantedBadDocs),
     "q_dup_survivors" -> Oracles.dupSurvivors,
     "q_c4_clean" -> Oracles.c4Clean(TextOps.plantedMultilineDocs),
+    "q_top_bigram" -> Oracles.topBigram,
     "q_jaccard_pairs" -> Oracles.jaccardPairs,
     "q_containment" -> Oracles.containmentPairs,
     "q_winnow_fp" -> Oracles.winnowFp,

@@ -173,6 +173,38 @@ object TextOps {
     (2000000002L, "Same line here today.\nSame line here today.\nSame line here today."),
     (2000000003L, "One good question to keep?\n\n\ntiny.\n"))
 
+  /** Gopher-style n-gram repetition signal: the most frequent bigram per
+    * document (ties: lexicographically smallest) and the ratio of tokens
+    * its occurrences span (2·count/n_tokens; can exceed 1 on overlapping
+    * runs like "a a a" — reported raw, a filter thresholds it). Rows
+    * shape: posexplode + a per-doc window lead — the bigram stream never
+    * materializes as per-doc arrays, so a 10^9-token document is ordinary
+    * shuffle rows. */
+  def topBigramStats(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok
+      .withColumn("nxt", lead(col("w"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("cnt")).as("negCnt"), col("bg"))).as("b"))
+      .select(col("doc_id"), col("b.bg").as("top_bigram"),
+        (-col("b.negCnt")).as("top_cnt"))
+    docs.select(col(idCol).as("doc_id"), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("top_cnt"), lit(0L)) * 2.0 / col("n_tokens"), 6))
+          .otherwise(0.0).as("top_bigram_frac"))
+  }
+
   /** Order-insensitive document fingerprint: sha256 of the sorted distinct
     * token set. Identical token-set docs collide — the cheap canonical
     * fingerprint for near-dup blocking (rolling-hash winnowing lives in

@@ -112,6 +112,20 @@ class TextOpsSpec extends SparkSpec {
     assert(v(1000000005L) == (("", true)), s"good doc got ${v(1000000005L)}")
   }
 
+  test("top-bigram repetition: counts, tie-break, overlap-run ratio, empty doc") {
+    val df = Seq(
+      (1L, "the cat the cat the dog"),     // "the cat" and "cat the" both x2; lex -> "cat the"
+      (2L, "b a b a a b"),                 // counts: "b a"=2,"a b"=2,"a a"=1 -> tie, "a b" wins lex
+      (3L, "a a a"),                       // overlapping run: cnt 2, frac 4/3
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.topBigramStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == (("cat the", 2L, math.rint(4.0 / 6 * 1e6) / 1e6)))
+    assert(got(2L)._1 == "a b" && got(2L)._2 == 2L)
+    assert(got(3L) == (("a a", 2L, 1.333333)))
+    assert(got(4L) == (("", 0L, 0.0)))
+  }
+
   test("C4 line cleaning: rule-by-rule on the planted multiline docs") {
     val df = TextOps.plantedMultilineDocs.toDF("doc_id", "text")
     val got = TextOps.c4LineStats(df)
