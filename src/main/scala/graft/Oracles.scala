@@ -598,6 +598,11 @@ object Oracles {
     * recursive min-label CTE (the q_cc pattern); cluster = component min,
     * keep = (doc_id = cluster). */
   val dupSurvivors: String = {
+    // Loud guard on the textual retarget: if toksCte's shape ever changes
+    // so the marker stops matching, fail at construction instead of
+    // silently shingling `documents` while the engine includes the plants.
+    require(shingleCte.contains("FROM documents)"),
+      "dupSurvivors: toksCte no longer matches the 'FROM documents)' retarget marker")
     val shingleOverAll = shingleCte.replace("FROM documents)", "FROM alldocs)")
     s"""WITH RECURSIVE alldocs AS (
       SELECT doc_id, text FROM documents

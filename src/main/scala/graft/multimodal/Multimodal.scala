@@ -151,9 +151,13 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { r =>
+        // NonFatal, not just IOException: ImageIO readers throw runtime
+        // exceptions (NegativeArraySize, IllegalArgument, IndexOutOfBounds)
+        // on corrupt-but-recognized bytes, and those must cost one stub
+        // row, not a task retry loop.
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) {
           digest.reset()
           val d = digest.digest(r.bytes)

@@ -201,19 +201,26 @@ object Similarity {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // pin the k-x-queries exact arm: both the anchor count and the hit
     // semi-join consume it, and unpinned each re-ran the full broadcast
-    // NLJ scan over the corpus
-    val exact = graft.io.Iterate.pin(
+    // NLJ scan over the corpus. Pinned WITH a release handle: it's pure
+    // scratch, so its cache is dropped once the (pinned) result is live —
+    // otherwise every annRecall call leaked one dead cached RDD for the
+    // session's lifetime.
+    val exactPin = graft.io.Iterate.pinCount(
       topK(corpus, queries, k, idCol, vecCol).select(col("qid"), col("nid")))
+    val exact = exactPin.df
     val approx = ivfTopK(corpus, queries, k, nCells, nProbe, idCol, vecCol)
       .select(col("qid"), col("nid"))
     val ex = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
     val ht = exact.join(approx, Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
-    ex.join(ht, Seq("qid"), "left")
-      .select(col("qid"), col("n_exact"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
-          .as("recall"))
+    val out = graft.io.Iterate.pin(
+      ex.join(ht, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 6)
+            .as("recall")))
+    exactPin.release()
+    out
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus

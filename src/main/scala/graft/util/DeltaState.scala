@@ -57,9 +57,14 @@ object DeltaState {
       val sizeKeys: Array[Long],
       val sizeVals: Array[Long]) extends Serializable
 
+  // epoch is written LAST by the in-place writer (applyOverrides) and read
+  // FIRST by the lock-free fast path in resolve(): @volatile makes that a
+  // release/acquire pair, so a reader that observes the new epoch also
+  // observes every preceding comms/sizes write. Without it the JMM permits
+  // a torn read (new epoch, stale array contents) on a multi-core executor.
   private final class Entry(
       val baseEpoch: Int,
-      var epoch: Int,
+      @volatile var epoch: Int,
       val comms: Array[Long],
       val sizes: StateMap.LongLongMap)
 
