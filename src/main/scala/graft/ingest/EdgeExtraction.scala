@@ -77,10 +77,28 @@ object EdgeExtraction {
       maxPathFanout: Int = 1000): Dataset[Edge] = {
     val spark = files.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
 
-    val rp = files.select(col(idCol).cast("long").as("id"), col(pathCol).as("pk")).distinct()
-    val fanout = rp.groupBy("pk").agg(count(lit(1)).as("k"))
-    val kept = rp.join(fanout.filter(col("k") <= maxPathFanout).select("pk"), Seq("pk"))
+    // Round-6 shape (guide §2.4): ONE exchange on pk serves the distinct,
+    // the fanout cap and the self-join. The previous formulation planned
+    // the scan→distinct prologue once per consumer (4 parquet scans, 6
+    // exchanges: distinct keyed (id,pk), a groupBy(pk) fanout aggregate,
+    // a broadcast join back, then the self-join) — here:
+    //   - repartition(pk) establishes HashPartitioning(pk); the (id,pk)
+    //     dropDuplicates runs WITHIN those partitions (pk ⊆ {id,pk}
+    //     satisfies the aggregate's clustering requirement — no exchange);
+    //   - the fanout cap is a window count over the same partitioning
+    //     (no aggregate+join round trip);
+    //   - both self-join sides are the identical subtree, so the single
+    //     pk exchange is planned once and reused.
+    // Only the pair stream then shuffles (groupBy(src,dst), map-side
+    // partial aggregation) — the one fundamentally required shuffle.
+    val kept = files
+      .select(col(idCol).cast("long").as("id"), col(pathCol).as("pk"))
+      .repartition(col("pk"))
+      .dropDuplicates("id", "pk")
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("pk")))
+      .filter(col("k") <= maxPathFanout)
 
     val a = kept.select(col("pk"), col("id").as("src"))
     val b = kept.select(col("pk"), col("id").as("dst"))

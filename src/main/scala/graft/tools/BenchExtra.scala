@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 noop-sink micro-bench (guide §1.4): isolates the expensive
+  * sub-steps of the declared queries so optimization work is measured on
+  * the computation, not the sink or the surrounding pins. Does NOT replace
+  * graft.Bench (frozen harness) — numbers from here are cited in
+  * OPTIMIZATION_r06.md only.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *          sbt "runMain graft.tools.BenchExtra probe1,probe2"
+  */
+object BenchExtra {
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def timed(name: String)(body: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[extra] $name%-32s $dt%8.2f s")
+      spark.sparkContext.setJobDescription(null)
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+
+    val probes: Map[String, () => Unit] = Map(
+      // ---- graph extraction prologue (paid by ~25 queries)
+      "extract_noop" -> (() => timed("extract_noop") {
+        noop(graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+      }),
+      "extract_pin" -> (() => timed("extract_pin") {
+        graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+      }),
+      "extract_sparse_noop" -> (() => timed("extract_sparse_noop") {
+        noop(graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_orderkey", 1000).toDF())
+      }),
+      "extract_thin_noop" -> (() => timed("extract_thin_noop") {
+        noop(graft.ingest.EdgeExtraction.cooccurrence(
+          li.filter(col("l_quantity") <= 1), "l_suppkey", "l_partkey", 1000).toDF())
+      }),
+      // ---- triangle counting isolated from extraction
+      "triangles_only" -> (() => timed("triangles_only") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  count_inner") {
+          println("    triangles = " + graft.algo.TriangleCount.count(e))
+        }
+      }),
+      // ---- ARI pieces
+      "ari_after_pin" -> (() => timed("ari_after_pin") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  ari_inner") {
+          val p1 = graft.graph.GraphOps.vertices(e)
+            .select(col("id"), (col("id") % 3).as("community"))
+          val p2 = spark.read.parquet(s"$sfDir/supplier.parquet")
+            .select(col("s_suppkey").as("id"), col("s_nationkey").cast("long").as("community"))
+          println("    ari = " + graft.eval.Metrics.adjustedRandIndex(p1, p2))
+        }
+      }),
+      // ---- jaccard pieces
+      "jaccard_noop" -> (() => timed("jaccard_noop") {
+        noop(graft.dedup.Dedup.jaccardPairs(docs, 0.4))
+      }),
+      "containment_noop" -> (() => timed("containment_noop") {
+        noop(graft.dedup.Dedup.containmentPairs(docs, 0.6))
+      }),
+      "shingle_noop" -> (() => timed("shingle_noop") {
+        noop(graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3))
+      }),
+      // ---- bpe
+      "bpe_count_noop" -> (() => timed("bpe_count_noop") {
+        noop(docs.select(col("doc_id"), graft.text.TextOps.bpeCount(col("text")).as("bpe_tokens")))
+      }),
+      // ---- extraction sub-steps (dense part graph)
+      "extract_steps" -> (() => timed("extract_steps") {
+        val rp = li.select(col("l_suppkey").cast("long").as("id"),
+          col("l_partkey").as("pk")).distinct()
+        timed("  rp_distinct") { noop(rp) }
+        val fanout = rp.groupBy("pk").agg(count(lit(1)).as("k"))
+        val kept = rp.join(fanout.filter(col("k") <= 1000).select("pk"), Seq("pk"))
+        timed("  kept") { noop(kept) }
+        val a = kept.select(col("pk"), col("id").as("src"))
+        val b = kept.select(col("pk"), col("id").as("dst"))
+        val pairs = a.join(b, Seq("pk")).filter(col("src") < col("dst"))
+        timed("  pairs_preagg") { noop(pairs) }
+        timed("  pairs_agg") {
+          noop(pairs.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight")))
+        }
+      })
+    )
+
+    val picks = if (args.nonEmpty) args(0).split(",").map(_.trim).toSeq else probes.keys.toSeq.sorted
+    picks.foreach { p =>
+      probes.get(p) match {
+        case Some(f) => f()
+        case None => System.err.println(s"[extra] unknown probe $p")
+      }
+    }
+    spark.stop()
+  }
+}

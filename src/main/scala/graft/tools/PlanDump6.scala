@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Round-6 plan evidence: `.explain("formatted")` for each named query,
+  * written to plans/r06/<query>_<tag>.txt. Usage:
+  *   runMain graft.tools.PlanDump6 <sfDir> <tag> q_a,q_b,...
+  * Pinned queries materialize their pin during construction; the dumped
+  * plan is exactly what the bench's noop sink executes afterwards. For the
+  * queries whose interesting plan is the pre-pin computation (q_edges and
+  * every graph query's extraction prologue), the extraction plan itself is
+  * dumped separately under `extraction_<tag>.txt`.
+  */
+object PlanDump6 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val tag = if (args.length > 1) args(1) else "before"
+    val names = if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+                else Seq("q_triangles")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File("plans/r06").mkdirs()
+    // the shared extraction prologue, un-pinned, so Exchange counts in the
+    // extraction itself are visible (inside a query it hides behind the pin)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ext = graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000)
+    Files.writeString(Paths.get(s"plans/r06/extraction_$tag.txt"),
+      ext.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"plans/r06/${name}_$tag.txt"), plan)
+      // drop pins between queries so construction-time caches don't pile up
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+      System.err.println(s"[plandump] $name -> plans/r06/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}
