@@ -94,6 +94,45 @@ object BenchExtra {
       "bpe_count_noop" -> (() => timed("bpe_count_noop") {
         noop(docs.select(col("doc_id"), graft.text.TextOps.bpeCount(col("text")).as("bpe_tokens")))
       }),
+      // ---- frontier loop isolated from extraction
+      "frontier_only" -> (() => timed("frontier_only") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(
+            li.filter(col("l_quantity") <= 1), "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  frontier_inner") {
+          val init = graft.graph.GraphOps.vertices(e)
+            .select(col("id"), (col("id") % 3).as("community"))
+          val (m, metrics) = graft.algo.HedonicFrontier.run(e, init,
+            graft.algo.Hedonic.Config(maxSupersteps = 40))
+          noop(m)
+          println(s"    supersteps=${metrics.size} " +
+            s"walls=${metrics.map(_.wallMs).mkString(",")}")
+        }
+      }),
+      // ---- pagerank isolated
+      "pagerank3_only" -> (() => timed("pagerank3_only") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  pagerank3_inner") {
+          noop(graft.algo.PageRank.run(e,
+            graft.algo.PageRank.Config(fixedIter = Some(3)))
+            .select(col("id"), round(col("rank"), 6).as("rank")))
+        }
+      }),
+      // ---- dup survivors CC part
+      "survivors_cc" -> (() => timed("survivors_cc") {
+        val d = docs.select(col("doc_id"), col("text"))
+        val planted = d.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        val all = d.unionByName(planted)
+        val pairs = graft.dedup.Dedup.jaccardPairs(all, 0.4)
+        timed("  pairs_part") { noop(pairs) }
+        timed("  cc_join_part") {
+          noop(graft.dedup.Dedup.dedupSurvivors(all, pairs))
+        }
+      }),
       // ---- extraction sub-steps (dense part graph)
       "extract_steps" -> (() => timed("extract_steps") {
         val rp = li.select(col("l_suppkey").cast("long").as("id"),

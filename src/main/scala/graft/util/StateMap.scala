@@ -237,6 +237,85 @@ object StateMap {
     }
   }
 
+  /** Array[Boolean] flag test at an int position (false when the position
+    * is out of range, e.g. the dense remap's -1 for ids outside the state
+    * table — mirroring how those rows drop at the driver). Used by the
+    * frontier executor to restrict the packed superstep scan to ACTIVE
+    * vertices inside the codegen'd filter — the predicate pushes below the
+    * decision kernel, so inactive vertices cost one array read, not a
+    * decision. */
+  private case class BoolArrayAt(child: Expression,
+      ref: Ref[org.apache.spark.broadcast.Broadcast[Array[Boolean]]])
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = false
+    override def prettyName: String = "flag_at"
+    override def eval(input: InternalRow): Any = {
+      val k = child.eval(input)
+      if (k == null) false
+      else {
+        val i = k.asInstanceOf[Int]
+        val a = ref.value.value
+        i >= 0 && i < a.length && a(i)
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("flagArrRef", ref, refCls)
+      val arr = ctx.addMutableState("boolean[]", "flagArr",
+        v => s"$v = (boolean[]) ((org.apache.spark.broadcast.Broadcast) $bRef.value()).value();")
+      val kGen = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${kGen.code}
+        boolean ${ev.isNull} = false;
+        boolean ${ev.value} = !${kGen.isNull} && ${kGen.value} >= 0 &&
+          ${kGen.value} < $arr.length && $arr[${kGen.value}];""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Array[Long] read at an int position (NULL out of range). */
+  private case class LongArrayAt(child: Expression,
+      ref: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "long_at"
+    override def eval(input: InternalRow): Any = {
+      val k = child.eval(input)
+      if (k == null) null
+      else {
+        val i = k.asInstanceOf[Int]
+        val a = ref.value.value
+        if (i >= 0 && i < a.length) a(i) else null
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("longArrRef", ref, refCls)
+      val arr = ctx.addMutableState("long[]", "longArr",
+        v => s"$v = (long[]) ((org.apache.spark.broadcast.Broadcast) $bRef.value()).value();")
+      val kGen = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${kGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${kGen.isNull} && ${kGen.value} >= 0 && ${kGen.value} < $arr.length) {
+          ${ev.isNull} = false;
+          ${ev.value} = $arr[${kGen.value}];
+        }""")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def flagAt(ref: Ref[org.apache.spark.broadcast.Broadcast[Array[Boolean]]],
+      idx: Column): Column =
+    ExpressionUtils.column(BoolArrayAt(ExpressionUtils.expression(idx), ref))
+
+  def longAt(ref: Ref[org.apache.spark.broadcast.Broadcast[Array[Long]]],
+      idx: Column): Column =
+    ExpressionUtils.column(LongArrayAt(ExpressionUtils.expression(idx), ref))
+
   def lookup(ref: Ref[org.apache.spark.broadcast.Broadcast[LongLongMap]],
       key: Column): Column =
     ExpressionUtils.column(LongMapLookup(ExpressionUtils.expression(key), ref))
