@@ -62,7 +62,10 @@ object ConnectedComponents {
     // row boxing) + the union-distinct job only when the counts already
     // agree; the previous round's count carries forward (the old loop
     // recounted it) and the previous cache is released each round.
-    var pairsPin = Iterate.pinCount(edges.select(col("src"), col("dst")).distinct())
+    // No initial distinct (round 6): Dataset[Edge] is canonical by
+    // contract (src < dst, deduped — GraphOps scaladoc), so the old
+    // `.distinct()` was a full extra exchange of the edge set for nothing.
+    var pairsPin = Iterate.pinCount(edges.select(col("src"), col("dst")))
     var pairs = pairsPin.df
     var nPrev = pairsPin.sums(0).toLong
     var iter = 0

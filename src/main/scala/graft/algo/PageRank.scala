@@ -95,6 +95,41 @@ object PageRank {
   def runTimed(edges: Dataset[Edge], cfg: Config = Config(),
           verticesOpt: Option[DataFrame] = None,
           packedOpt: Option[graft.graph.PackedAdj] = None): (DataFrame, Seq[Long]) = {
+    // Round-6 setup dedup for the COMMON case (edge-derived vertex set, no
+    // prebuilt pack): ONE E-row degree aggregate yields the vertex count
+    // (the strategy decision), the pack build's segmentation degrees, and
+    // the rank-degree table. The old path made three separate passes over
+    // the symmetrized edges (a 2E-row vertices().distinct(), the build's
+    // own degree aggregate, and the rank-degree aggregate).
+    if (verticesOpt.isEmpty && packedOpt.isEmpty) {
+      val spark = edges.sparkSession
+      val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+      val symDf = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
+      val degAgg =
+        (if (cfg.weighted)
+          symDf.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"),
+            sum(col("weight").cast("double")).as("deg"))
+        else
+          symDf.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))).persist()
+      val v = degAgg.count().toDouble
+      val deg =
+        if (cfg.weighted) degAgg.select(col("id"), col("deg"))
+        else degAgg.select(col("id"), col("d").cast("double").as("deg"))
+      if (v <= cfg.broadcastStateMaxRows) {
+        val packed = graft.graph.PackedAdjacency.build(symDf, "dst", cfg.weighted,
+          deferCacheIfHubFree = cfg.indexedState, partitions = cfg.packPartitions,
+          cachePartitions = cfg.cachePartitions,
+          degOpt = Some(degAgg.select(col("id").as("dst"), col("d"))))
+        val out = runDriverState(spark, packed, deg, v, cfg, ownsPack = true)
+        packed.unpersist()
+        degAgg.unpersist()
+        return out
+      }
+      // over-budget V: co-partitioned shuffle path, no dangling (min deg 1)
+      val out = runShuffle(edges, cfg, deg, v, mayDangle = false)
+      degAgg.unpersist()
+      return out
+    }
     // With a prebuilt pack the vertex count comes off the cached V-row
     // pack (distinct over ids — multi-segment hubs repeat) instead of a
     // 2E-row distinct over the raw edges.
@@ -150,28 +185,38 @@ object PageRank {
       vertsOpt.foreach(_.unpersist())
       return out
     }
-    val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     // Over-budget V with a prebuilt pack: the shuffle path ignores the
     // pack, so the vertex table is derived here after all.
     val verts = vertsOpt.getOrElse {
       val vt = GraphOps.vertices(edges).select("id").persist(); vt.count(); vt
     }
+    val symForDeg = GraphOps.symmetrize(edges)
+    val deg =
+      if (cfg.weighted)
+        symForDeg.groupBy(col("src").as("id"))
+          .agg(sum(col("weight").cast("double")).as("deg"))
+      else
+        symForDeg.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).cast("double").as("deg"))
+    // edge-derived vertex sets have min degree 1 by construction — the
+    // dangling machinery only wakes up for explicit vertex tables.
+    val vdegIn = verts.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0.0)).as("deg"))
+    val out = runShuffle(edges, cfg, vdegIn, v, mayDangle = verticesOpt.isDefined)
+    verts.unpersist()
+    out
+  }
 
+  /** Co-partitioned shuffle loop (over-budget V or explicit vertex table).
+    * `vdegIn` is the (id, deg) table — precomputed by the caller so the
+    * common path shares one degree aggregate across setup consumers. */
+  private def runShuffle(edges: Dataset[Edge], cfg: Config, vdegIn: DataFrame,
+      v: Double, mayDangle: Boolean): (DataFrame, Seq[Long]) = {
+    val iterMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     // Shuffle path: cached pre-partitioned on src (the join key); only the
     // V-row rank side re-exchanges per iteration.
     val sym = GraphOps.pinnedSym(edges, "src", cfg.weighted, sorted = true)
-    // outdeg / out-strength per vertex.
-    val deg =
-      if (cfg.weighted)
-        sym.groupBy(col("src").as("id")).agg(sum(col("weight").cast("double")).as("deg"))
-      else
-        sym.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("deg"))
-
-    // edge-derived vertex sets have min degree 1 by construction — the
-    // dangling machinery only wakes up for explicit vertex tables.
-    val mayDangle = verticesOpt.isDefined
-    val vdeg = verts.join(deg, Seq("id"), "left")
-      .select(col("id"), coalesce(col("deg"), lit(0.0)).as("deg")).persist()
+    val vdeg = vdegIn.persist()
     vdeg.count()
 
     var ranks = vdeg.select(col("id"), lit(1.0 / v).as("rank"), col("deg"))
@@ -206,7 +251,7 @@ object PageRank {
       iterMs += (System.nanoTime() - t0) / 1000000
       iter += 1
     }
-    sym.unpersist(); verts.unpersist(); vdeg.unpersist()
+    sym.unpersist(); vdeg.unpersist()
     (ranks.select("id", "rank"), iterMs.toSeq)
   }
 

@@ -103,14 +103,19 @@ object PackedAdjacency {
     * forces an interpreted ColumnarToRow outside whole-stage codegen (4-9 s
     * of extra CPU per round measured). The extra exchange moves only the
     * packed rows (~8 B/edge) and is amortized over all supersteps. */
+  /** `degOpt`: a precomputed per-`key` row-count table (columns: key, "d")
+    * — round-6 setup dedup: callers that already aggregated degrees (the
+    * strategy decision / rank-degree table) pass it so the build does not
+    * re-aggregate the E-row input. */
   def build(sym: DataFrame, key: String, weighted: Boolean = false,
             segCap: Int = 1 << 20, deferCacheIfHubFree: Boolean = false,
             partitions: Option[Int] = None,
-            cachePartitions: Option[Int] = None): PackedAdj = {
+            cachePartitions: Option[Int] = None,
+            degOpt: Option[DataFrame] = None): PackedAdj = {
     val spark = sym.sparkSession
     import spark.implicits._
     val nbr = if (key == "src") "dst" else "src"
-    val degAgg = sym.groupBy(col(key)).agg(count(lit(1)).as("d"))
+    val degAgg = degOpt.getOrElse(sym.groupBy(col(key)).agg(count(lit(1)).as("d")))
     // Stats come from the V-row degree frame, NOT from scanning the packed
     // table afterwards (the old count()+max(nsegs) pair forced two full
     // materializations of the pack): degSum = directed half-edge count

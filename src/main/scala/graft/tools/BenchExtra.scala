@@ -37,10 +37,11 @@ object BenchExtra {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[extra] $name%-32s $dt%8.2f s")
       spark.sparkContext.setJobDescription(null)
+    }
+    def purge(): Unit =
       try spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
-    }
 
     val probes: Map[String, () => Unit] = Map(
       // ---- graph extraction prologue (paid by ~25 queries)
@@ -133,6 +134,61 @@ object BenchExtra {
           noop(graft.dedup.Dedup.dedupSurvivors(all, pairs))
         }
       }),
+      // ---- jaccard sub-steps
+      "jaccard_steps" -> (() => timed("jaccard_steps") {
+        import org.apache.spark.sql.expressions.Window
+        val sh0 = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3)
+        timed("  sh0") { noop(sh0) }
+        val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 1000)
+        val sh = sh0.join(dfs, Seq("sh")).persist()
+        timed("  sh_persist") { sh.count() }
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        val pref = sh
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+          .join(sizes, Seq("id"))
+          .filter(col("rk") <= col("sz") - ceil(lit(0.4) * col("sz") - lit(1e-9)) + 1)
+          .select(col("sh"), col("id"), col("sz"))
+        timed("  pref") { noop(pref) }
+        val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"))
+          .join(pref.select(col("sh"), col("id").as("idb"), col("sz").as("szb")), Seq("sh"))
+          .filter(col("ida") < col("idb"))
+          .filter(lit(0.4) * greatest(col("sza"), col("szb")) - lit(1e-9)
+            <= least(col("sza"), col("szb")))
+          .select("ida", "idb", "sza", "szb").distinct()
+        timed("  cands") { noop(cands) }
+        val candsP = cands.persist()
+        timed("  cands_count") { println("    cands=" + candsP.count()) }
+        println("    sh_rows=" + sh.count())
+        val inter = candsP
+          .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+          .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
+          .groupBy("ida", "idb", "sza", "szb").agg(count(lit(1)).as("inter"))
+        timed("  inter_cached_cands") { noop(inter) }
+        sh.unpersist(); candsP.unpersist()
+      }),
+      // ---- pagerank inner breakdown
+      "pagerank_steps" -> (() => timed("pagerank_steps") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  vertices_count") {
+          val vt = graft.graph.GraphOps.vertices(e).select("id").persist()
+          println("    v=" + vt.count()); vt.unpersist()
+        }
+        timed("  pack_build") {
+          val sym = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+          val p = graft.graph.PackedAdjacency.build(sym, "dst", deferCacheIfHubFree = true)
+          println("    maxSegs=" + p.maxSegs + " degSum=" + p.degSum)
+        }
+        timed("  run_timed") {
+          val (out, ms) = graft.algo.PageRank.runTimed(e,
+            graft.algo.PageRank.Config(fixedIter = Some(3)))
+          noop(out.select(col("id"), round(col("rank"), 6).as("rank")))
+          println("    iterMs=" + ms.mkString(","))
+        }
+      }),
       // ---- extraction sub-steps (dense part graph)
       "extract_steps" -> (() => timed("extract_steps") {
         val rp = li.select(col("l_suppkey").cast("long").as("id"),
@@ -154,7 +210,7 @@ object BenchExtra {
     val picks = if (args.nonEmpty) args(0).split(",").map(_.trim).toSeq else probes.keys.toSeq.sorted
     picks.foreach { p =>
       probes.get(p) match {
-        case Some(f) => f()
+        case Some(f) => f(); purge()
         case None => System.err.println(s"[extra] unknown probe $p")
       }
     }
