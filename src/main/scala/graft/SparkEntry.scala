@@ -110,11 +110,14 @@ object SparkEntry {
           round(col("payoff"), 6).as("payoff"))
     }),
 
+    // One ungated synchronous superstep — expressed through Hedonic.run
+    // (maxSupersteps = 1, no parity gate) so the broadcast-state strategy
+    // applies; decision-identical to the explicit Hedonic.step form
+    // (StrategySpec pins the strategies, the oracle replays the step).
     "q_move1" -> ((s, dir) => {
       val e = graph(s, dir)
-      val alpha = GraphOps.density(e)
-      val (next, _, _) =
-        Hedonic.step(GraphOps.symmetrize(e).select("src", "dst"), m0(e), alpha, lit(true))
+      val (next, _) = Hedonic.run(e, m0(e),
+        Hedonic.Config(maxSupersteps = 1, parityGating = false))
       next
     }),
 
@@ -509,12 +512,11 @@ object SparkEntry {
     // friendship mass = weight sum, strangers count-based) — pins the
     // weighted payoff/argmax math; the full weighted run is strategy-pinned
     // by StrategySpec.
+    // same single-ungated-step-through-run() shape as q_move1
     "q_wmove1" -> ((s, dir) => {
       val e = graphThin(s, dir)
-      val alpha = GraphOps.density(e)
-      val (next, _, _) = Hedonic.step(
-        GraphOps.symmetrize(e).select("src", "dst", "weight"), m0(e), alpha,
-        lit(true), weighted = true)
+      val (next, _) = Hedonic.run(e, m0(e),
+        Hedonic.Config(maxSupersteps = 1, parityGating = false, weighted = true))
       next
     }),
 

@@ -27,34 +27,39 @@ import graft.io.Iterate
   */
 object ConnectedComponents {
 
-  /** large-star: for every node u, m = min(N(u) + {u}); link every strictly
-    * larger neighbor v > u to m. Aggregate+join formulation (no arrays). */
-  private def largeStar(pairs: DataFrame): DataFrame = {
+  /** One large-star + small-star round, exchange-fused (round 6): the
+    * large-star dedup repartitions by the NEW src (the larger endpoint) so
+    * its dropDuplicates needs no own exchange AND establishes exactly the
+    * partitioning the small-star's groupBy/join need — large-star output is
+    * already directed (every emitted dst = m < src), so the small-star's
+    * greatest/least normalization and its re-exchange both disappear.
+    * Three exchanges per round (sym groupBy, large-star dedup, small-star
+    * dedup) instead of five; identical pair sets at every step.
+    *
+    * large-star: for every node u, m = min(N(u) + {u}); link every strictly
+    * larger neighbor v > u to m. small-star: with N-(u) the smaller
+    * neighbors and m = min(N-(u) + {u}) = min(N-(u)), link
+    * (N-(u) + {u}) \ {m} to m. Aggregate+join formulation throughout — a
+    * 10^8-degree hub contributes ordinary shuffle rows, never an array. */
+  private def round(pairs: DataFrame): DataFrame = {
     val sym = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
     val mins = sym.groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src"), least(col("src"), col("mn")).as("m"))
-    sym.join(mins, Seq("src"))
+    val ls = sym.join(mins, Seq("src"))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-  }
-
-  /** small-star: store each pair at its larger endpoint; with N-(u) the
-    * smaller neighbors and m = min(N-(u)), link (N-(u) + {u}) \ {m} to m.
-    * Since every dst < src in the directed view, m = min(dst) and the
-    * {u}->m link always survives the filter. */
-  private def smallStar(pairs: DataFrame): DataFrame = {
-    val directed = pairs.select(
-      greatest(col("src"), col("dst")).as("src"),
-      least(col("src"), col("dst")).as("dst"))
-    val mins = directed.groupBy("src").agg(min(col("dst")).as("m"))
-    val nbrLinks = directed.join(mins, Seq("src"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+    val mins2 = ls.groupBy("src").agg(min(col("dst")).as("m"))
+    val nbrLinks = ls.join(mins2, Seq("src"))
       .filter(col("dst") =!= col("m"))
       .select(col("dst").as("src"), col("m").as("dst"))
-    val selfLinks = mins.select(col("src"), col("m").as("dst"))
-    nbrLinks.unionByName(selfLinks).distinct()
+    val selfLinks = mins2.select(col("src"), col("m").as("dst"))
+    nbrLinks.unionByName(selfLinks)
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
   }
 
   def run(edges: Dataset[Edge], maxIter: Int = 50): DataFrame = {
@@ -62,23 +67,25 @@ object ConnectedComponents {
     // row boxing) + the union-distinct job only when the counts already
     // agree; the previous round's count carries forward (the old loop
     // recounted it) and the previous cache is released each round.
-    // No initial distinct (round 6): Dataset[Edge] is canonical by
+    // No initial distinct or pin (round 6): Dataset[Edge] is canonical by
     // contract (src < dst, deduped — GraphOps scaladoc), so the old
-    // `.distinct()` was a full extra exchange of the edge set for nothing.
-    var pairsPin = Iterate.pinCount(edges.select(col("src"), col("dst")))
-    var pairs = pairsPin.df
-    var nPrev = pairsPin.sums(0).toLong
+    // `.distinct()` was a full extra exchange of the edge set, and the old
+    // initial pin a full extra cache pass — callers' edge tables are
+    // already cached (pinEdges) and round 0 reads them once either way.
+    var pairs = edges.select(col("src"), col("dst"))
+    var nPrev = pairs.count()
+    var prevRelease: () => Unit = () => ()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val nextPin = Iterate.pinCount(smallStar(largeStar(pairs)))
+      val nextPin = Iterate.pinCount(round(pairs))
       val next = nextPin.df
       val nNext = nextPin.sums(0).toLong
       // Set-equality convergence: |A| == |B| == |A union B|.
       done = nNext == nPrev &&
         next.unionByName(pairs).distinct().count() == nPrev
-      pairsPin.release()
-      pairsPin = nextPin
+      prevRelease()
+      prevRelease = () => nextPin.release()
       pairs = next
       nPrev = nNext
       iter += 1

@@ -25,6 +25,68 @@ object GraphKernels {
     * the caller (TriangleCount) guarantees this by construction. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
+
+  /** Σ x[p] over an array<int> of state POSITIONS (dense-index adjacency;
+    * p < 0 = endpoint outside the state table, skipped — the same skip as
+    * the packed kernels). x enters per round as a Ref-carried broadcast
+    * handle (StateMap.Ref discipline: plan built once, fresh contents per
+    * collect). Summation order = the pack's sorted-neighbor order —
+    * deterministic, unlike the shuffle path's aggregate merge order. */
+  def nbrSumIdx(nbrs: Column,
+      xR: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]])
+      : Column =
+    column(NbrSumIdx(expression(nbrs), xR))
+}
+
+private[algo] case class NbrSumIdx(child: Expression,
+    ref: graft.util.StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nbr_sum_idx"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val x = ref.value.value
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val p = arr.getInt(i)
+      if (p >= 0) s += x(p)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("nbrSumRef", ref, graft.util.StateMap.refCls)
+    val xa = ctx.addMutableState("double[]", "nbrSumX",
+      v => s"$v = (double[]) ((org.apache.spark.broadcast.Broadcast) $bRef.value()).value();")
+    val cGen = child.genCode(ctx)
+    val arr = ctx.freshName("arr")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val p = ctx.freshName("p")
+    ev.copy(code = code"""
+      ${cGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${cGen.isNull}) {
+        ${ev.isNull} = false;
+        org.apache.spark.sql.catalyst.util.ArrayData $arr = ${cGen.value};
+        int $n = $arr.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          int $p = $arr.getInt($i);
+          if ($p >= 0) ${ev.value} += $xa[$p];
+        }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 private[algo] case class SortedIntersectCount(left: Expression, right: Expression)

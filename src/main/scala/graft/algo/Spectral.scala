@@ -150,8 +150,111 @@ object Spectral {
 
   /** Fixed-iteration whole-graph leading-eigenvector iterate (the oracled
     * q_spectral1 surface): one community, so diag_i = kin_i − d_i·2m/2m = 0
-    * and the matvec is the plain modularity form. Returns (id, x). */
-  def wholeGraphVector(edges: Dataset[Edge], iters: Int): DataFrame = {
+    * and the matvec is the plain modularity form. Returns (id, x).
+    *
+    * Broadcast-state strategy (round 6): V within the broadcast budget and
+    * hub-free — each power step is ONE single-stage job over the
+    * dense-index packed adjacency (neighbor-sum kernel); the per-vertex
+    * update arithmetic runs on the driver with the IDENTICAL expression
+    * order as the DataFrame form ((y − (deg/m2)·s1 − x·diag) + σ·x)/nrm
+    * with diag = 0, which at single-community whole-graph scope is exact:
+    * kin = deg and (deg·m2)/m2 divides back exactly while deg·m2 stays
+    * within 2^53. The x0 seed column is evaluated in-plan (same
+    * Portable.uniformSym expression), never re-implemented driver-side.
+    * s1/‖x‖ were previously accumulator sums (non-deterministic merge
+    * order); they are now sequential index-order sums — both are valid
+    * orderings of the same addends, and q_spectral1 rounds to 5 dp.
+    * Falls back to the pinned-DataFrame loop over budget / on hubs. */
+  def wholeGraphVector(edges: Dataset[Edge], iters: Int,
+                       broadcastStateMaxRows: Long = 4000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val symDf = GraphOps.symmetrize(edges).select("src", "dst")
+    val degAgg = symDf.groupBy(col("src").as("id")).agg(count(lit(1)).as("d")).persist()
+    val nL = degAgg.count()
+    if (nL <= broadcastStateMaxRows) {
+      val packed = graft.graph.PackedAdjacency.build(symDf, "dst",
+        deferCacheIfHubFree = true,
+        degOpt = Some(degAgg.select(col("id").as("dst"), col("d"))))
+      if (packed.maxSegs == 1) {
+        import graft.util.StateMap
+        val sc = spark.sparkContext
+        val n = nL.toInt
+        // ids/degrees/x0 in one collect; x0 evaluated by the SAME column
+        // expression the DataFrame path uses.
+        val rows = degAgg.select(col("id"), col("d").cast("double").as("deg"),
+          Portable.uniformSym(Portable.key(lit("sp"), col("id"))).as("x")).collect()
+        val ids = new Array[Long](n)
+        val degs = new Array[Double](n)
+        var x = new Array[Double](n)
+        var i = 0
+        var m2 = 0.0
+        var dmax = 0.0
+        while (i < n) {
+          ids(i) = rows(i).getLong(0); degs(i) = rows(i).getDouble(1)
+          x(i) = rows(i).getDouble(2)
+          m2 += degs(i); if (degs(i) > dmax) dmax = degs(i)
+          i += 1
+        }
+        val sigma = 3.0 * dmax + 1.0
+        val idxB = sc.broadcast(StateMap.longLong(ids, Array.tabulate(n)(_.toLong), n))
+        val pidx = graft.graph.PackedAdjacency.reindex(packed, idxB)
+        idxB.unpersist()
+        packed.unpersist()
+        val xR = new StateMap.Ref[org.apache.spark.broadcast.Broadcast[Array[Double]]](null)
+        val sumDf = pidx.df.select(col("myIdx"),
+          GraphKernels.nbrSumIdx(col("nbrs"), xR).as("y"))
+        val sumRdd = sumDf.queryExecution.toRdd.mapPartitions { it =>
+          val pb = new scala.collection.mutable.ArrayBuilder.ofInt
+          val yb = new scala.collection.mutable.ArrayBuilder.ofDouble
+          while (it.hasNext) {
+            val r = it.next()
+            pb += r.getInt(0); yb += r.getDouble(1)
+          }
+          Iterator.single((pb.result(), yb.result()))
+        }
+        var it2 = 0
+        while (it2 < iters) {
+          var s1 = 0.0
+          var xx = 0.0
+          var j = 0
+          while (j < n) { s1 += degs(j) * x(j); xx += x(j) * x(j); j += 1 }
+          val n0 = math.sqrt(xx)
+          val nrm = if (n0 > 0.0) n0 else 1.0
+          xR.value = sc.broadcast(x)
+          val parts = sumRdd.collect()
+          xR.value.destroy()
+          val next = new Array[Double](n)
+          var p = 0
+          while (p < parts.length) {
+            val (pos, ys) = parts(p)
+            var k = 0
+            while (k < pos.length) {
+              val at = pos(k)
+              // identical association order to the DataFrame mx() column
+              next(at) = ((ys(k) - degs(at) / m2 * s1 - x(at) * 0.0) +
+                sigma * x(at)) / nrm
+              k += 1
+            }
+            p += 1
+          }
+          x = next
+          it2 += 1
+        }
+        pidx.unpersist()
+        degAgg.unpersist()
+        val idsL = ids; val xL = x
+        val slices = math.max(1, math.min(sc.defaultParallelism, n / 65536 + 1))
+        val rdd = sc.parallelize(0 until n, slices)
+          .map(k => org.apache.spark.sql.Row(idsL(k), xL(k)))
+        return spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      }
+      packed.unpersist()
+    }
+    degAgg.unpersist()
     val sym = GraphOps.pinnedSym(edges, "dst")
     val deg = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("double").as("deg")).persist()

@@ -214,9 +214,11 @@ object Dedup {
       .join(ranked.select(col("sh"), col("id").as("idb"), col("sz").as("szb"),
         col("rk").as("rkb")), Seq("sh"))
       .filter(col("ida") =!= col("idb"))
+      // the size prune is per-pair-constant, so it applies BEFORE the
+      // aggregate (fewer rows into the candidate groupBy)
+      .filter(lit(threshold) * col("sza") - lit(1e-9) <= col("szb"))
       .groupBy("ida", "idb", "sza", "szb")
       .agg(count(lit(1)).as("cnt"), max(col("rka")).as("ma"), max(col("rkb")).as("mb"))
-      .filter(lit(threshold) * col("sza") - lit(1e-9) <= col("szb"))
       .filter(col("cnt") + least(col("sza") - col("ma"), col("szb") - col("mb"))
         >= lit(threshold) * col("sza") - lit(1e-9))
       .select("ida", "idb", "sza")
@@ -433,30 +435,16 @@ object Dedup {
     * codegen, no subexpression elimination), so referencing md5(t) per
     * nibble would re-digest the token 16-64x (measured 30 s at sf0.1). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val zeros = array((0 until 64).map(_ => lit(0L)): _*)
-    // stage 1: one md5 hex per token; stage 2: 16 nibble ints per hex;
-    // stage 3: fold +/-1 bit contributions into the 64 sums.
-    val hexes = transform(TextOps.tokens(col(textCol)),
-      t => md5(concat(lit("sb:"), t)))
-    val nibArrs = transform(hexes,
-      h => array((0 until 16).map(j =>
-        graft.util.Portable.nibble(h, lit(j))): _*))
-    def bitVec(nibs: Column): Column =
-      array((0 until 64).map { k =>
-        when(shiftright(element_at(nibs, k / 4 + 1), k % 4).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L)
-      }: _*)
-    val sums = aggregate(nibArrs, zeros,
-      (acc, nibs) => zip_with(acc, bitVec(nibs), (a, b) => a + b))
-    // Compose the 64-bit value with shift+OR (never overflows, unlike
-    // acc*2+bit which trips ANSI overflow on the sign bit).
-    val packed = (0 until 64).map(k =>
-      when(element_at(col("sums"), k + 1) > 0, shiftleft(lit(1L), k)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
-    docs.select(col(idCol).as("id"), sums.as("sums"))
-      .select(col("id"), packed.as("simhash"))
-  }
+              textCol: String = "text"): DataFrame =
+    // Native codegen kernel (round 6): the staged HOF pipeline (one md5
+    // hex per token -> 16 nibbles -> aggregate/zip_with fold into 64 sums)
+    // ran interpreted at ~64 boxed lambda steps per token — measured 4.7 s
+    // over the sf0.1 corpus vs a few hundred ms for the fused loop. Same
+    // md5 nibbles, same +/-1 integer sums, same shift+OR packing —
+    // bit-identical output (SimHashKernel scaladoc; BlockingSpec pins the
+    // planted-pair results, the DuckDB oracle replays the nibbles).
+    docs.select(col(idCol).as("id"),
+      SimHashKernel.simhash64(TextOps.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with CHUNK-PAIR blocking (round-1 fix): the
     * 64-bit hash splits into 5 chunks (13+13+13+13+12 bits); a pair within

@@ -134,6 +134,51 @@ object BenchExtra {
           noop(graft.dedup.Dedup.dedupSurvivors(all, pairs))
         }
       }),
+      // ---- token/shingle/simhash isolation
+      "text_pipeline" -> (() => timed("text_pipeline") {
+        timed("  tokens_noop") {
+          noop(docs.select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("t")))
+        }
+        timed("  shingle_noop") {
+          noop(graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3))
+        }
+        timed("  simhash_noop") {
+          noop(graft.dedup.Dedup.simhash(docs))
+        }
+        timed("  simhash_pairs_noop") {
+          noop(graft.dedup.Dedup.simhashPairs(docs, 3))
+        }
+      }),
+      // ---- spectral + cc + density isolation
+      "graph_misc" -> (() => timed("graph_misc") {
+        val eThin = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(
+            li.filter(col("l_quantity") <= 1), "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  spectral20") {
+          noop(graft.algo.Spectral.wholeGraphVector(eThin, iters = 20)
+            .select(col("id"), round(col("x"), 5).as("x")))
+        }
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  cc_dense") { noop(graft.algo.ConnectedComponents.run(e)) }
+        timed("  density2jobs") { println("    d=" + graft.graph.GraphOps.density(e)) }
+        timed("  merge_gain") {
+          val alpha = graft.graph.GraphOps.density(e)
+          val m0 = graft.graph.GraphOps.vertices(e)
+            .select(col("id"), (col("id") % 3).as("community"))
+          noop(graft.algo.Leiden.mergeGains(e, m0, alpha))
+        }
+        timed("  move1") {
+          val alpha = graft.graph.GraphOps.density(e)
+          val m0 = graft.graph.GraphOps.vertices(e)
+            .select(col("id"), (col("id") % 3).as("community"))
+          val (next, _, _) = graft.algo.Hedonic.step(
+            graft.graph.GraphOps.symmetrize(e).select("src", "dst"), m0, alpha, lit(true))
+          noop(next)
+        }
+      }),
       // ---- jaccard sub-steps
       "jaccard_steps" -> (() => timed("jaccard_steps") {
         import org.apache.spark.sql.expressions.Window
@@ -188,6 +233,45 @@ object BenchExtra {
           noop(out.select(col("id"), round(col("rank"), 6).as("rank")))
           println("    iterMs=" + ms.mkString(","))
         }
+      }),
+      // ---- containment sub-steps
+      "containment_steps" -> (() => timed("containment_steps") {
+        import org.apache.spark.sql.expressions.Window
+        val t = 0.6
+        val sh0 = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3)
+        val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 1000)
+        val sh = sh0.join(dfs, Seq("sh")).persist()
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        val ranked = sh
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+          .join(sizes, Seq("id"))
+        val pref = ranked
+          .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
+          .select(col("sh"), col("id"), col("sz"), col("rk"))
+        timed("  ranked") { noop(ranked) }
+        val raw = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"),
+            col("rk").as("rka"))
+          .join(ranked.select(col("sh"), col("id").as("idb"), col("sz").as("szb"),
+            col("rk").as("rkb")), Seq("sh"))
+          .filter(col("ida") =!= col("idb"))
+        timed("  raw_count") { println("    raw=" + raw.count()) }
+        val cands = raw
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(count(lit(1)).as("cnt"), max(col("rka")).as("ma"), max(col("rkb")).as("mb"))
+          .filter(lit(t) * col("sza") - lit(1e-9) <= col("szb"))
+          .filter(col("cnt") + least(col("sza") - col("ma"), col("szb") - col("mb"))
+            >= lit(t) * col("sza") - lit(1e-9))
+          .select("ida", "idb", "sza")
+        val candsP = cands.persist()
+        timed("  cands_count") { println("    cands=" + candsP.count()) }
+        val inter = candsP
+          .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+          .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
+          .groupBy("ida", "idb", "sza").agg(count(lit(1)).as("inter"))
+        timed("  inter") { noop(inter) }
+        sh.unpersist(); candsP.unpersist()
       }),
       // ---- extraction sub-steps (dense part graph)
       "extract_steps" -> (() => timed("extract_steps") {
