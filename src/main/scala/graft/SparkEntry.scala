@@ -90,8 +90,7 @@ object SparkEntry {
 
     "q_density" -> ((s, dir) => {
       val e = graph(s, dir)
-      val ec = e.count()
-      val vc = GraphOps.vertices(e).count()
+      val (vc, ec) = GraphOps.vertexEdgeCounts(e) // one job (was two counts)
       s.range(1).select(
         lit(vc).as("v"), lit(ec).as("e"),
         round(lit(2.0 * ec / (vc.toDouble * (vc - 1))), 6).as("density"))

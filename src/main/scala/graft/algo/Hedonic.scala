@@ -494,8 +494,6 @@ object Hedonic {
       packedOpt: Option[graft.graph.PackedAdj] = None): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
     val a = cfg.alpha.getOrElse(GraphOps.density(edges))
-    val stateRows = init.count()
-    val bcast = stateRows <= cfg.broadcastStateMaxRows
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, cfg.checkpointEvery))
 
     // Resume from the latest durable snapshot when a checkpoint dir is reused.
@@ -503,6 +501,16 @@ object Hedonic {
       case Some((k, df)) => (k + 1, df)
       case None          => (0, init.select("id", "community"))
     }
+
+    // ONE materialization decides the strategy AND (when within budget)
+    // already IS the driver-state collect (round 6; the old shape ran a
+    // separate count() job and then re-materialized the state inside
+    // runDriverState). limit(budget+1) keeps an over-budget state off the
+    // driver: the capped collect then just signals "too big" and the
+    // shuffle path recomputes from the frame.
+    val cap = math.min(cfg.broadcastStateMaxRows, Int.MaxValue - 2L).toInt
+    val startCap = startMembers.select("id", "community").limit(cap + 1).collect()
+    val bcast = startCap.length <= cfg.broadcastStateMaxRows
 
     if (bcast) {
       // Broadcast-state strategy iterates over the CSR-packed adjacency
@@ -518,7 +526,7 @@ object Hedonic {
           partitions = cfg.packPartitions, cachePartitions = cfg.cachePartitions)
       }
       val edgeCount = packed.degSum
-      return runDriverState(edges, packed, startMembers, startStep, a, edgeCount, cfg,
+      return runDriverState(edges, packed, startCap, startStep, a, edgeCount, cfg,
         ckpt, ownsPack = packedOpt.isEmpty)
     }
 
@@ -579,7 +587,7 @@ object Hedonic {
   private def runDriverState(
       edges: Dataset[Edge],
       packed: graft.graph.PackedAdj,
-      startMembers: DataFrame,
+      init0: Array[org.apache.spark.sql.Row], // pre-collected (id, community)
       startStep: Int,
       alpha: Double,
       edgeCount: Long,
@@ -588,7 +596,6 @@ object Hedonic {
       ownsPack: Boolean = true): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val init0 = startMembers.select("id", "community").collect()
     val n = init0.length
     val ids = new Array[Long](n)
     val comms = new Array[Long](n)

@@ -42,14 +42,17 @@ object HedonicFrontier {
     // Hedonic.run's own strategy split. The frontier executor is
     // unweighted (cfg.weighted is ignored here as before).
     if (!cfg.weighted) {
-      val stateRows = init.count()
-      if (stateRows <= cfg.broadcastStateMaxRows) {
+      // one capped materialization = strategy decision + driver-state
+      // collect (see Hedonic.run)
+      val cap = math.min(cfg.broadcastStateMaxRows, Int.MaxValue - 2L).toInt
+      val initCap = init.select("id", "community").limit(cap + 1).collect()
+      if (initCap.length <= cfg.broadcastStateMaxRows) {
         val packed = graft.graph.PackedAdjacency.build(
           GraphOps.symmetrize(edges).select("src", "dst"), "src",
           weighted = false, deferCacheIfHubFree = true,
           partitions = cfg.packPartitions, cachePartitions = cfg.cachePartitions)
         if (packed.maxSegs == 1)
-          return runDriverState(edges, packed, init, stateRows.toInt, a, cfg)
+          return runDriverState(edges, packed, initCap, a, cfg)
         packed.unpersist() // hub graph: fall through to the shuffle loop
       }
     }
@@ -176,13 +179,13 @@ object HedonicFrontier {
     * destroyed right after their collect. Both plans are built ONCE and
     * re-collected with fresh Ref contents (StateMap.Ref). */
   private def runDriverState(edges: Dataset[Edge],
-      packed: graft.graph.PackedAdj, init: DataFrame, n: Int,
+      packed: graft.graph.PackedAdj, init0: Array[org.apache.spark.sql.Row],
       alpha: Double, cfg: Hedonic.Config): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
     import graft.util.StateMap
     val edgeCount = packed.degSum
-    val init0 = init.select("id", "community").collect()
+    val n = init0.length
     val ids = new Array[Long](n)
     val comms = new Array[Long](n)
     var i = 0

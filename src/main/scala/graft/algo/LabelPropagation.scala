@@ -69,7 +69,11 @@ object LabelPropagation {
     val init = initOpt
       .map(_.select(col("id"), col("label")))
       .getOrElse(GraphOps.vertices(edges).select(col("id"), col("id").as("label")))
-    val bcast = init.count() <= broadcastStateMaxRows
+    // one capped materialization = strategy decision + driver-state collect
+    // (see Hedonic.run)
+    val cap = math.min(broadcastStateMaxRows, Int.MaxValue - 2L).toInt
+    val initCap = init.limit(cap + 1).collect()
+    val bcast = initCap.length <= broadcastStateMaxRows
     if (bcast) {
       // Broadcast-state strategy iterates over the CSR-packed adjacency
       // (see PackedAdjacency / stepPlanPacked).
@@ -81,7 +85,7 @@ object LabelPropagation {
         graft.graph.PackedAdjacency.build(symDf, "src", weighted,
           deferCacheIfHubFree = indexedState)
       }
-      return runDriverState(edges.sparkSession, packed, init, maxIter,
+      return runDriverState(edges.sparkSession, packed, initCap, maxIter,
         parityGating, weighted, indexedState, ownsPack = packedOpt.isEmpty)
     }
     // Shuffle path: cached pre-partitioned on dst (the join key); only the
@@ -213,11 +217,10 @@ object LabelPropagation {
   }
 
   private def runDriverState(spark: org.apache.spark.sql.SparkSession,
-      packed: graft.graph.PackedAdj, init: DataFrame, maxIter: Int,
-      parityGating: Boolean, weighted: Boolean,
+      packed: graft.graph.PackedAdj, init0: Array[org.apache.spark.sql.Row],
+      maxIter: Int, parityGating: Boolean, weighted: Boolean,
       indexedState: Boolean = true, ownsPack: Boolean = true): DataFrame = {
     import spark.implicits._
-    val init0 = init.collect()
     val n = init0.length
     val ids = new Array[Long](n)
     val labs = new Array[Long](n)

@@ -190,37 +190,27 @@ object Dedup {
       .filter(col("df") <= maxShingleDF)
     val sh = sh0.join(dfs, Seq("sh")).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Rank the WHOLE kept universe per doc (one shared global order); the
-    // prefix is a filter over it. Ranks ride both join sides so the
-    // candidate aggregate can apply the positional bound (see jaccardPairs).
-    val ranked = sh
+    // NOTE (round 6): jaccardPairs gained a positional candidate bound; the
+    // same idea was tried here and measured SLOWER — the one-sided join
+    // (A-prefix against the FULL table) needs the whole kept universe
+    // ranked for the b-side positions, and that window pass cost more than
+    // the ~35%-weaker one-sided bound saved in verification. Kept in the
+    // original distinct + size-prune form deliberately.
+    val pref = sh
       .withColumn("rk", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
       .join(sizes, Seq("id"))
-    val pref = ranked
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("sh"), col("id"), col("sz"), col("rk"))
-    // Candidate aggregate (round 6): groupBy replaces distinct (same
-    // exchange), deriving cnt = #shared elements between A's prefix and B,
-    // and (ma, mb) = both docs' ranks of the LAST such shared element.
-    // Any further common element is outside A's prefix, hence after that
-    // element in the global order in BOTH docs, so
-    //   |A∩B| <= cnt + min(sza - ma, szb - mb),
-    // and containment >= t needs |A∩B| >= t*sza. The old size prune
-    // (|B| >= t*|A|, since |A∩B| <= |B|) stays, now off the carried szb.
-    // Epsilon keeps both cuts one-sided; the final craw test decides.
-    val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"),
-        col("rk").as("rka"))
-      .join(ranked.select(col("sh"), col("id").as("idb"), col("sz").as("szb"),
-        col("rk").as("rkb")), Seq("sh"))
+      .select(col("sh"), col("id"), col("sz"))
+    val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"))
+      .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
       .filter(col("ida") =!= col("idb"))
-      // the size prune is per-pair-constant, so it applies BEFORE the
-      // aggregate (fewer rows into the candidate groupBy)
+      .select("ida", "idb", "sza").distinct()
+      // Sound size prune before the verification join: |A∩B| <= |B|, so
+      // containment >= t forces |B| >= t·|A| (epsilon only loosens). Kills
+      // the short-B candidates a big doc's prefix drags in.
+      .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), Seq("idb"))
       .filter(lit(threshold) * col("sza") - lit(1e-9) <= col("szb"))
-      .groupBy("ida", "idb", "sza", "szb")
-      .agg(count(lit(1)).as("cnt"), max(col("rka")).as("ma"), max(col("rkb")).as("mb"))
-      .filter(col("cnt") + least(col("sza") - col("ma"), col("szb") - col("mb"))
-        >= lit(threshold) * col("sza") - lit(1e-9))
       .select("ida", "idb", "sza")
     val inter = cands
       .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))

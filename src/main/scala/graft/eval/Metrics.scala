@@ -21,16 +21,27 @@ object Metrics {
       .join(p2.select(col("id"), col("community").as("c2")), Seq("id"))
       .groupBy("c1", "c2").agg(count(lit(1)).as("n"))
 
-  /** Adjusted Rand Index, closed form over the contingency table. */
+  /** Adjusted Rand Index, closed form over the contingency table.
+    * Two jobs over the cached table (round 6; was four): the cell-pair sum
+    * rides the total-count pass, and both marginal-pair sums come from one
+    * GROUPING SETS aggregate (grouping() flags tell the rows apart).
+    * Identical arithmetic per term — only the job count changed. */
   def adjustedRandIndex(p1: DataFrame, p2: DataFrame): Double = {
     val ct = contingency(p1, p2).persist()
     def c2(c: org.apache.spark.sql.Column) = c * (c - 1) / lit(2.0)
-    val sumIj = ct.agg(coalesce(sum(c2(col("n"))), lit(0.0))).collect()(0).getDouble(0)
-    val sumA = ct.groupBy("c1").agg(sum("n").as("a"))
-      .agg(coalesce(sum(c2(col("a"))), lit(0.0))).collect()(0).getDouble(0)
-    val sumB = ct.groupBy("c2").agg(sum("n").as("b"))
-      .agg(coalesce(sum(c2(col("b"))), lit(0.0))).collect()(0).getDouble(0)
-    val n = ct.agg(sum("n")).collect()(0).getLong(0).toDouble
+    val r1 = ct.agg(coalesce(sum(c2(col("n"))), lit(0.0)),
+      coalesce(sum("n"), lit(0L))).collect()(0)
+    val sumIj = r1.getDouble(0)
+    val n = r1.getLong(1).toDouble
+    val r2 = ct
+      .groupingSets(Seq(Seq(col("c1")), Seq(col("c2"))), col("c1"), col("c2"))
+      .agg(sum(col("n")).as("t"), grouping(col("c1")).as("g1"))
+      .agg(
+        coalesce(sum(when(col("g1") === 0, c2(col("t")))), lit(0.0)),
+        coalesce(sum(when(col("g1") === 1, c2(col("t")))), lit(0.0)))
+      .collect()(0)
+    val sumA = r2.getDouble(0)
+    val sumB = r2.getDouble(1)
     ct.unpersist()
     val totalPairs = n * (n - 1) / 2.0
     if (totalPairs == 0) return 1.0

@@ -103,12 +103,22 @@ object GraphOps {
     inside.unionByName(nbrs).distinct()
   }
 
+  /** (V, E) in ONE job (round 6): the degree aggregate's row count is V
+    * and its degree sum is exactly 2E on a canonical edge table — the old
+    * two jobs (edges.count + a 2E-row distinct) collapse into one pass. */
+  def vertexEdgeCounts(edges: Dataset[Edge]): (Long, Long) = {
+    val row = symmetrize(edges).groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).collect()(0)
+    (row.getLong(0), row.getLong(1) / 2)
+  }
+
   /** Graph density 2E/(V(V-1)) — the reference's default resolution alpha
     * (hedonic/__init__.py:78,215; scripts/experiment.py:76). Driver-side
-    * scalar; one job over the edge table. */
+    * scalar; one job over the edge table (2.0*E == (2E).toDouble exactly
+    * for any E < 2^52, so the value is bit-identical to the old
+    * two-count form). */
   def density(edges: Dataset[Edge]): Double = {
-    val e = edges.count()
-    val v = vertices(edges).count()
+    val (v, e) = vertexEdgeCounts(edges)
     if (v < 2) 0.0 else 2.0 * e / (v.toDouble * (v - 1))
   }
 
