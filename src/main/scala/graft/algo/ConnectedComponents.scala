@@ -90,11 +90,15 @@ object ConnectedComponents {
       nPrev = nNext
       iter += 1
     }
-    // Fixpoint is a star forest: every pair is (v, componentMin).
+    // Fixpoint is a star forest: every pair is (v, componentMin), so the
+    // labeled ids are exactly the non-minimum vertices and the missing
+    // roots are exactly the DISTINCT comp values (every root has at least
+    // one member row — edge-table vertices all have a neighbor). Deriving
+    // roots from the labels replaces the old 2E-row vertices().distinct()
+    // + anti-join with one small aggregate (round 6); identical rows.
     val labels = pairs.groupBy(col("src").as("id")).agg(min(col("dst")).as("comp"))
-    val roots = GraphOps.vertices(edges)
-      .join(labels, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("comp"))
+    val roots = labels.select(col("comp")).distinct()
+      .select(col("comp").as("id"), col("comp"))
     labels.unionByName(roots)
   }
 

@@ -32,6 +32,50 @@ object PlanDump6 {
     val ext = graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000)
     Files.writeString(Paths.get(s"plans/r06/extraction_$tag.txt"),
       ext.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    // q_triangles / q_ari execute during query construction (count() /
+    // collect()s), so their final plans are literals; dump the actual
+    // triangle-count computation plan as supplementary evidence.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val e = graft.io.Iterate.pin(ext.toDF()).as[graft.model.Edge](
+        org.apache.spark.sql.Encoders.product[graft.model.Edge])
+      val deg = graft.graph.GraphOps.degrees(e)
+      val or = e.toDF()
+        .join(deg.select(col("id").as("src"), col("degree").as("ds")), Seq("src"))
+        .join(deg.select(col("id").as("dst"), col("degree").as("dd")), Seq("dst"))
+      // the count plan: reconstruct via the public API path
+      val plan = {
+        val adjPlanHolder = new StringBuilder
+        // use the internal shape through the public count() path is not
+        // explainable (it is an action); rebuild the identical frame:
+        val oriented = or.select(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.struct(col("ds"), col("src")) <
+              org.apache.spark.sql.functions.struct(col("dd"), col("dst")), col("src"))
+            .otherwise(col("dst")).as("u"),
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.struct(col("ds"), col("src")) <
+              org.apache.spark.sql.functions.struct(col("dd"), col("dst")), col("dst"))
+            .otherwise(col("src")).as("v"))
+        val adj = oriented.groupBy(col("u")).agg(
+          org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_list(col("v"))).as("nbrs"))
+        val annotated = oriented
+          .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+          .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+          .select(graft.algo.GraphKernels.sortedIntersectCount(col("nu"), col("nv")).as("t"))
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(col("t")),
+            org.apache.spark.sql.functions.lit(0L)).as("n"))
+        adjPlanHolder.append(annotated.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        adjPlanHolder.toString
+      }
+      Files.writeString(Paths.get(s"plans/r06/q_triangles_internal_$tag.txt"), plan)
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
