@@ -100,13 +100,18 @@ object Dedup {
                    maxShingleDF: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh0 = shingleTable(docs, idCol, textCol, n)
-    val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDF)
+    // df attach + cap in ONE exchange (round 6): a window count over the
+    // sh partitioning replaces the old groupBy(sh) aggregate + join back
+    // (two passes over the shingle table). Same df values, same kept rows.
     // persisted WITH df: consumed by the sizes aggregate, the prefix
     // ranking, and the verification join — unpinned, the tokenize+
     // shingle+cap pipeline re-ran per consumer (a full corpus re-scan
     // each, at 100 TB).
-    val sh = sh0.join(dfs, Seq("sh")).persist()
+    val sh = sh0
+      .repartition(col("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxShingleDF)
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // Global canonical order (df asc, sh asc) = rarest-first; rank within
     // doc, keep the prefix (rk rides along for the positional filter).
@@ -186,9 +191,12 @@ object Dedup {
                        maxShingleDF: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh0 = shingleTable(docs, idCol, textCol, n)
-    val dfs = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+    // df attach + cap in one exchange (see jaccardPairs)
+    val sh = sh0
+      .repartition(col("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("df") <= maxShingleDF)
-    val sh = sh0.join(dfs, Seq("sh")).persist()
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // NOTE (round 6): jaccardPairs gained a positional candidate bound; the
     // same idea was tried here and measured SLOWER — the one-sided join
@@ -281,20 +289,23 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, minShared: Int = 2, k: Int = 3,
                          w: Int = 4, idCol: String = "doc_id",
                          textCol: String = "text", maxFpDF: Int = 1000): DataFrame = {
-    // Persist the BASE fingerprint table: the df-cap aggregate and the
-    // capped join both consume it — unpinned, the tokenize+winnow pipeline
-    // runs once per consumer (the jaccardPairs `sh` lesson).
-    val fp0 = winnowFingerprints(docs, k, w, idCol, textCol).persist()
-    val keep = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxFpDF).select("fp")
-    val fp = fp0.join(keep, Seq("fp"))
+    import org.apache.spark.sql.expressions.Window
+    // df cap in one exchange over the fingerprint table (see jaccardPairs'
+    // window form); persisted because the pair self-join consumes it twice
+    // — unpinned, the tokenize+winnow pipeline runs once per consumer.
+    val fp = winnowFingerprints(docs, k, w, idCol, textCol)
+      .repartition(col("fp"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxFpDF)
+      .select("id", "fp")
+      .persist()
     val pairs = fp.select(col("fp"), col("id").as("ida"))
       .join(fp.select(col("fp"), col("id").as("idb")), Seq("fp"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
     val out = graft.io.Iterate.pin(pairs)
-    fp0.unpersist(blocking = false)
+    fp.unpersist(blocking = false)
     out
   }
 
