@@ -132,6 +132,12 @@ object SparkEntry {
       s.range(1).select(lit(n).as("triangles"))
     }),
 
+    // NOTE (round 6): routing this one-shot vote through the
+    // broadcast-state LabelPropagation.run was tried and measured SLOWER
+    // (3.9 -> 5.1 s): a single majority-vote gather is one cheap
+    // aggregate, so the pack build + dense-index remap never amortize.
+    // Kept as the direct step deliberately (q_move1's hedonic step, with
+    // its heavier payoff/argmax chain, DID profit from the same routing).
     "q_lpa1" -> ((s, dir) => {
       val e = graph(s, dir)
       val labels = GraphOps.vertices(e).select(col("id"), (col("id") % 3).as("label"))
