@@ -69,6 +69,34 @@ object Dedup {
     docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("id"), explode(shinglesOfTokens(col("toks"), n)).as("sh"))
 
+  /** Shared cached base for the set-similarity joins (round 6): the kept
+    * (df <= cap) shingle universe with doc size `sz` AND global-order rank
+    * `rk` pre-attached, in exactly TWO exchanges before the persist —
+    * (1) a window count over the `sh` partitioning attaches df and applies
+    * the hub cap, (2) ONE id-partitioned window pass attaches both the doc
+    * size (count) and the rarest-first rank (row_number over the one shared
+    * global (df, sh) order) — the same partitioning serves both frames, so
+    * the second window rides the first's exchange. Every consumer (prefix
+    * selection, length filters, the PPJoin positional bounds on EITHER join
+    * side, the verification joins) then reads sz/rk straight off the cached
+    * rows: the old per-call sizes aggregate + join and the pref window are
+    * gone, and containmentPairs' b-side positions — previously a whole
+    * extra full-universe window pass, measured a net loss in round 6 —
+    * are now free. Columns: (id, sh, sz, rk). Caller owns the persist. */
+  private def rankedShingleCache(docs: DataFrame, n: Int, idCol: String,
+                                 textCol: String, maxShingleDF: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shingleTable(docs, idCol, textCol, n)
+      .repartition(col("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxShingleDF)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+      .select("id", "sh", "sz", "rk")
+      .persist()
+  }
+
   /** Exact n-gram Jaccard pairs >= threshold over the CAPPED shingle
     * universe, via PREFIX-FILTERED candidate generation (the standard
     * exact set-similarity join — Vernica/PPJoin family): result set is
@@ -98,28 +126,26 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxShingleDF: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh0 = shingleTable(docs, idCol, textCol, n)
-    // df attach + cap in ONE exchange (round 6): a window count over the
-    // sh partitioning replaces the old groupBy(sh) aggregate + join back
-    // (two passes over the shingle table). Same df values, same kept rows.
-    // persisted WITH df: consumed by the sizes aggregate, the prefix
-    // ranking, and the verification join — unpinned, the tokenize+
-    // shingle+cap pipeline re-ran per consumer (a full corpus re-scan
-    // each, at 100 TB).
-    val sh = sh0
-      .repartition(col("sh"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= maxShingleDF)
-      .persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // Global canonical order (df asc, sh asc) = rarest-first; rank within
-    // doc, keep the prefix (rk rides along for the positional filter).
-    // The window shuffles by id only (V-scale).
+    val (pairs, sh) = jaccardPairsFrame(docs, threshold, n, idCol, textCol, maxShingleDF)
+    // Pin the (tiny) pair set, release the corpus-scale shingle cache —
+    // the lshPairs/ivfTopK lifetime discipline (round-3 leak in a
+    // long-lived session; Bench hid it by purging between queries).
+    val out = graft.io.Iterate.pin(pairs)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** Pre-pin computation of jaccardPairs, exposed for plan evidence
+    * (PlanDump6 — the pinned public frame explains as a bare RDD scan).
+    * Returns (pairs, ranked shingle cache); the CALLER owns the cache. */
+  private[graft] def jaccardPairsFrame(docs: DataFrame, threshold: Double, n: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxShingleDF: Int = 1000): (DataFrame, DataFrame) = {
+    val sh = rankedShingleCache(docs, n, idCol, textCol, maxShingleDF)
+    // Prefix selection is now a bare FILTER over the cache (no sizes
+    // aggregate, no join, no extra window): keep each doc's rarest
+    // L = sz - ceil(t*sz) + 1 shingles.
     val pref = sh
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
-      .join(sizes, Seq("id"))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("sh"), col("id"), col("sz"), col("rk"))
     // Candidates: prefix-prefix equi-join + the length filter
@@ -164,12 +190,7 @@ object Dedup {
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jraw") >= threshold)
       .select(col("ida"), col("idb"), round(col("jraw"), 6).as("jaccard"))
-    // Pin the (tiny) pair set, release the corpus-scale shingle cache —
-    // the lshPairs/ivfTopK lifetime discipline (round-3 leak in a
-    // long-lived session; Bench hid it by purging between queries).
-    val out = graft.io.Iterate.pin(pairs)
-    sh.unpersist(blocking = false)
-    out
+    (pairs, sh)
   }
 
   /** DIRECTED containment pairs: C(A→B) = |A∩B| / |A| >= threshold over the
@@ -189,36 +210,53 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        idCol: String = "doc_id", textCol: String = "text",
                        maxShingleDF: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh0 = shingleTable(docs, idCol, textCol, n)
-    // df attach + cap in one exchange (see jaccardPairs)
-    val sh = sh0
-      .repartition(col("sh"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= maxShingleDF)
-      .persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // NOTE (round 6): jaccardPairs gained a positional candidate bound; the
-    // same idea was tried here and measured SLOWER — the one-sided join
-    // (A-prefix against the FULL table) needs the whole kept universe
-    // ranked for the b-side positions, and that window pass cost more than
-    // the ~35%-weaker one-sided bound saved in verification. Kept in the
-    // original distinct + size-prune form deliberately.
+    val (pairs, sh) = containmentPairsFrame(docs, threshold, n, idCol, textCol, maxShingleDF)
+    val out = graft.io.Iterate.pin(pairs)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** Pre-pin computation of containmentPairs (see jaccardPairsFrame). */
+  private[graft] def containmentPairsFrame(docs: DataFrame, threshold: Double, n: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxShingleDF: Int = 1000): (DataFrame, DataFrame) = {
+    val sh = rankedShingleCache(docs, n, idCol, textCol, maxShingleDF)
+    // NOTE (round 6): the positional bound below was first tried with a
+    // dedicated full-universe ranking window for the b-side positions and
+    // measured a net LOSS; rankedShingleCache now carries rk on every
+    // cached row (the ranking pass is shared with jaccardPairs' prefix
+    // selection), so the bound costs nothing extra — re-tried and kept.
     val pref = sh
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
-      .join(sizes, Seq("id"))
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("sh"), col("id"), col("sz"))
     val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"))
-      .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
+      .join(sh.select(col("sh"), col("id").as("idb"), col("sz").as("szb"),
+        col("rk").as("rkb")), Seq("sh"))
       .filter(col("ida") =!= col("idb"))
-      .select("ida", "idb", "sza").distinct()
-      // Sound size prune before the verification join: |A∩B| <= |B|, so
+      // Sound size prune BEFORE the pair aggregate: |A∩B| <= |B|, so
       // containment >= t forces |B| >= t·|A| (epsilon only loosens). Kills
       // the short-B candidates a big doc's prefix drags in.
-      .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), Seq("idb"))
       .filter(lit(threshold) * col("sza") - lit(1e-9) <= col("szb"))
+      // Pair dedup as a groupBy (same exchange as the old distinct) that
+      // also derives the ONE-SIDED positional upper bound on |A∩B|:
+      // cnt = |prefix(A) ∩ B| and mb = rank-in-B of the LAST shared
+      // element (ranks share one global (df, sh) order, so the max-rkb
+      // shared element is the latest shared element in that order). Any
+      // common element NOT among the cnt is outside prefix(A), hence
+      // globally after every prefix(A) element — in particular after the
+      // max-rkb shared one — so its b-rank exceeds mb: at most
+      // min(sza - La, szb - mb) such elements exist, where
+      // sza - La = ceil(t·sza) - 1 is A's suffix length. Containment >= t
+      // needs |A∩B| >= t·sza; candidates whose bound cannot reach that
+      // never enter the verification join. Epsilon keeps the cut
+      // one-sided; the exact `craw` test below still decides membership,
+      // so the result set is unchanged (oracle green).
+      .groupBy("ida", "idb", "sza", "szb")
+      .agg(count(lit(1)).as("cnt"), max(col("rkb")).as("mb"))
+      .filter(col("cnt") + least(
+          ceil(lit(threshold) * col("sza") - lit(1e-9)) - 1,
+          col("szb") - col("mb"))
+        >= lit(threshold) * col("sza") - lit(1e-9))
       .select("ida", "idb", "sza")
     val inter = cands
       .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
@@ -228,9 +266,7 @@ object Dedup {
       .withColumn("craw", col("inter").cast("double") / col("sza"))
       .filter(col("craw") >= threshold)
       .select(col("ida"), col("idb"), round(col("craw"), 6).as("containment"))
-    val out = graft.io.Iterate.pin(pairs)
-    sh.unpersist(blocking = false)
-    out
+    (pairs, sh)
   }
 
   // ------------------------------------------------------------ winnowing

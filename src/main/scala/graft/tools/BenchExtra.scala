@@ -273,6 +273,41 @@ object BenchExtra {
         timed("  inter") { noop(inter) }
         sh.unpersist(); candsP.unpersist()
       }),
+      // ---- containment candidate-count A/B (deterministic, noise-free):
+      // old candidate rule (distinct + size prune) vs new (groupBy + the
+      // one-sided positional bound) over the same ranked shingle cache.
+      "containment_cands" -> (() => timed("containment_cands") {
+        import org.apache.spark.sql.expressions.Window
+        val t = 0.6
+        val sh = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3)
+          .repartition(col("sh"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .filter(col("df") <= 1000)
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+          .select("id", "sh", "sz", "rk")
+          .persist()
+        val pref = sh
+          .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
+          .select(col("sh"), col("id"), col("sz"))
+        val joined = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"))
+          .join(sh.select(col("sh"), col("id").as("idb"), col("sz").as("szb"),
+            col("rk").as("rkb")), Seq("sh"))
+          .filter(col("ida") =!= col("idb"))
+          .filter(lit(t) * col("sza") - lit(1e-9) <= col("szb"))
+        val old = joined.select("ida", "idb").distinct().count()
+        val nw = joined
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(count(lit(1)).as("cnt"), max(col("rkb")).as("mb"))
+          .filter(col("cnt") + least(
+              ceil(lit(t) * col("sza") - lit(1e-9)) - 1,
+              col("szb") - col("mb"))
+            >= lit(t) * col("sza") - lit(1e-9))
+          .count()
+        println(s"    cands old=$old new=$nw")
+        sh.unpersist()
+      }),
       // ---- extraction sub-steps (dense part graph)
       "extract_steps" -> (() => timed("extract_steps") {
         val rp = li.select(col("l_suppkey").cast("long").as("id"),

@@ -76,6 +76,99 @@ object PlanDump6 {
         .foreach(_.unpersist(blocking = false))
       catch { case _: Throwable => () }
     }
+    // jaccard/containment pin their pair sets during construction, so the
+    // public query plans explain as bare RDD scans; dump the actual pre-pin
+    // pair computation as supplementary evidence (same convention as
+    // q_triangles_internal).
+    // tag "dedup_r6start": verbatim replica of the ROUND-6-MID (pre-
+    // ranked-cache) jaccard/containment shapes, dumped once as the
+    // `_internal_before` evidence for the shared-cache + positional-bound
+    // change (the live code no longer builds those shapes).
+    if (tag == "dedup_r6start") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def oldCache() = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3)
+        .repartition(col("sh"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= 1000)
+        .persist()
+      locally { // old jaccardPairs
+        val t = 0.4
+        val sh = oldCache()
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        val pref = sh
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+          .join(sizes, Seq("id"))
+          .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
+          .select(col("sh"), col("id"), col("sz"), col("rk"))
+        val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"),
+            col("rk").as("rka"))
+          .join(pref.select(col("sh"), col("id").as("idb"), col("sz").as("szb"),
+            col("rk").as("rkb")), Seq("sh"))
+          .filter(col("ida") < col("idb"))
+          .filter(lit(t) * greatest(col("sza"), col("szb")) - lit(1e-9)
+            <= least(col("sza"), col("szb")))
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(count(lit(1)).as("cnt"), max(col("rka")).as("ma"), max(col("rkb")).as("mb"))
+          .filter(col("cnt") + least(col("sza") - col("ma"), col("szb") - col("mb"))
+            >= lit(t) / (1.0 + t) * (col("sza") + col("szb")) - lit(1e-9))
+          .select("ida", "idb", "sza", "szb")
+        val inter = cands
+          .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+          .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
+          .groupBy("ida", "idb", "sza", "szb").agg(count(lit(1)).as("inter"))
+        val pairs = inter
+          .withColumn("jraw",
+            col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+          .filter(col("jraw") >= t)
+          .select(col("ida"), col("idb"), round(col("jraw"), 6).as("jaccard"))
+        Files.writeString(Paths.get(s"plans/r06/q_jaccard_pairs_internal_before.txt"),
+          pairs.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      }
+      locally { // old containmentPairs
+        val t = 0.6
+        val sh = oldCache()
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        val pref = sh
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+          .join(sizes, Seq("id"))
+          .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
+          .select(col("sh"), col("id"), col("sz"))
+        val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"))
+          .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
+          .filter(col("ida") =!= col("idb"))
+          .select("ida", "idb", "sza").distinct()
+          .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), Seq("idb"))
+          .filter(lit(t) * col("sza") - lit(1e-9) <= col("szb"))
+          .select("ida", "idb", "sza")
+        val inter = cands
+          .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+          .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
+          .groupBy("ida", "idb", "sza").agg(count(lit(1)).as("inter"))
+        val pairs = inter
+          .withColumn("craw", col("inter").cast("double") / col("sza"))
+          .filter(col("craw") >= t)
+          .select(col("ida"), col("idb"), round(col("craw"), 6).as("containment"))
+        Files.writeString(Paths.get(s"plans/r06/q_containment_internal_before.txt"),
+          pairs.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      }
+      spark.stop()
+      return
+    }
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val (jp, jsh) = graft.dedup.Dedup.jaccardPairsFrame(docs, 0.4)
+      Files.writeString(Paths.get(s"plans/r06/q_jaccard_pairs_internal_$tag.txt"),
+        jp.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      jsh.unpersist(blocking = false)
+      val (cp, csh) = graft.dedup.Dedup.containmentPairsFrame(docs, 0.6)
+      Files.writeString(Paths.get(s"plans/r06/q_containment_internal_$tag.txt"),
+        cp.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      csh.unpersist(blocking = false)
+    }
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
