@@ -493,7 +493,16 @@ object Hedonic {
       cfg: Config = Config(),
       packedOpt: Option[graft.graph.PackedAdj] = None): (DataFrame, Seq[RunMetrics]) = {
     val spark = edges.sparkSession
-    val a = cfg.alpha.getOrElse(GraphOps.density(edges))
+    // alpha and (V, 2E) from the SAME job when alpha defaults to density —
+    // the one-shot fast path below reuses the edge count for its metrics
+    // row instead of running a second pass (round 6).
+    val (a, veOpt) = cfg.alpha match {
+      case Some(x) => (x, None)
+      case None =>
+        val ve = GraphOps.vertexEdgeCounts(edges)
+        val d = if (ve._1 < 2) 0.0 else 2.0 * ve._2 / (ve._1.toDouble * (ve._1 - 1))
+        (d, Some(ve))
+    }
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, cfg.checkpointEvery))
 
     // Resume from the latest durable snapshot when a checkpoint dir is reused.
@@ -513,6 +522,19 @@ object Hedonic {
     val bcast = startCap.length <= cfg.broadcastStateMaxRows
 
     if (bcast) {
+      // ONE-superstep fast path (round 6): a single superstep never
+      // amortizes the CSR pack build (exchange + sort + cache of the
+      // E-row adjacency), so the single-ungated-step queries
+      // (q_move1 / q_wmove1) run stepPlanMap straight over the symmetrized
+      // rows — measured 5.2-5.9 s -> 3.1-4.3 s on the sf0.1 dense graph
+      // (BenchExtra move1_ab). Decision-identical: stepPlanMap is the same
+      // plan the driver-state loop uses on hub graphs (StrategySpec pins
+      // it against both the packed kernels and the shuffle path).
+      if (cfg.maxSupersteps - startStep == 1 && packedOpt.isEmpty &&
+          ckpt.isEmpty && !cfg.trackPotential) {
+        val ve = veOpt.getOrElse(GraphOps.vertexEdgeCounts(edges))
+        return runMapOneShot(edges, startCap, startStep, a, 2 * ve._2, cfg)
+      }
       // Broadcast-state strategy iterates over the CSR-packed adjacency
       // (one build-time shuffle, then V-row supersteps — see
       // PackedAdjacency / stepPlanPacked).
@@ -570,6 +592,74 @@ object Hedonic {
     }
     sym.unpersist()
     (members, metrics)
+  }
+
+  /** One-superstep broadcast-state execution without a pack build (see the
+    * fast-path comment in run()): state enters as two broadcast primitive
+    * maps, the superstep is stepPlanMap's single-stage gather+decide job
+    * over the symmetrized rows, and the merge is runDriverState's Row
+    * branch verbatim (only wanter rows come back; doMove carries the
+    * gate). */
+  private def runMapOneShot(
+      edges: Dataset[Edge],
+      init0: Array[org.apache.spark.sql.Row], // pre-collected (id, community)
+      startStep: Int,
+      alpha: Double,
+      edgeCount: Long,
+      cfg: Config): (DataFrame, Seq[RunMetrics]) = {
+    val spark = edges.sparkSession
+    val t0 = System.nanoTime()
+    val n = init0.length
+    val ids = new Array[Long](n)
+    val comms = new Array[Long](n)
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    val sizes = new scala.collection.mutable.LongMap[Long]()
+    var i = 0
+    while (i < n) {
+      ids(i) = init0(i).getLong(0); comms(i) = init0(i).getLong(1)
+      idx(ids(i)) = i
+      sizes(comms(i)) = sizes.getOrElse(comms(i), 0L) + 1L
+      i += 1
+    }
+    import graft.util.StateMap
+    val sc = spark.sparkContext
+    val commB = sc.broadcast(StateMap.longLong(ids, comms, n))
+    val sizeB = sc.broadcast(StateMap.longLong(sizes))
+    val gate =
+      if (cfg.parityGating) graft.util.Portable.parityGate(col("id"), startStep)
+      else lit(true)
+    val symCols = if (cfg.weighted) Seq("src", "dst", "weight") else Seq("src", "dst")
+    val sym = GraphOps.symmetrize(edges).select(symCols.map(col): _*)
+    val rows = stepPlanMap(sym, new StateMap.Ref(commB), new StateMap.Ref(sizeB),
+      alpha, gate, cfg.weighted).collect()
+    commB.destroy(); sizeB.destroy()
+    var wanted = 0L
+    var moved = 0L
+    var k = 0
+    while (k < rows.length) {
+      val r = rows(k)
+      idx.get(r.getLong(0)) match { // ids outside the state table drop
+        case Some(at) =>
+          wanted += 1
+          if (r.getBoolean(2)) { moved += 1; comms(at) = r.getLong(1) }
+        case None => ()
+      }
+      k += 1
+    }
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // final state frame: same parallelize shape as runDriverState.stateDF
+    // (no LocalRelation — see that comment)
+    val idsL = ids; val commsL = comms
+    val slices = math.max(1,
+      math.min(sc.defaultParallelism, n / 65536 + 1))
+    val rdd = sc.parallelize(0 until n, slices)
+      .map(j => org.apache.spark.sql.Row(idsL(j), commsL(j)))
+    val out = spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("community",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+    (out, Vector(RunMetrics(startStep, moved, Double.NaN, wanted, edgeCount, wallMs)))
   }
 
   /** Broadcast-strategy loop with DRIVER-RESIDENT state (V fits the

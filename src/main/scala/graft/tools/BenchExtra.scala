@@ -273,6 +273,61 @@ object BenchExtra {
         timed("  inter") { noop(inter) }
         sh.unpersist(); candsP.unpersist()
       }),
+      // ---- q_move1 A/B: one ungated superstep via run() (pack build +
+      // dense-index kernel) vs a map-state one-shot that skips the pack
+      // (stepPlanMap over the symmetrized rows, state as broadcast maps).
+      "move1_ab" -> (() => timed("move1_ab") {
+        import graft.util.StateMap
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        val m0 = graft.graph.GraphOps.vertices(e)
+          .select(col("id"), (col("id") % 3).as("community"))
+        timed("  via_run") {
+          val (next, _) = graft.algo.Hedonic.run(e, m0,
+            graft.algo.Hedonic.Config(maxSupersteps = 1, parityGating = false))
+          noop(next)
+        }
+        timed("  map_oneshot") {
+          val spark2 = e.sparkSession
+          val alpha = graft.graph.GraphOps.density(e)
+          val init = m0.collect()
+          val n = init.length
+          val ids = new Array[Long](n); val comms = new Array[Long](n)
+          val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+          val sizes = new scala.collection.mutable.LongMap[Long]()
+          var i = 0
+          while (i < n) {
+            ids(i) = init(i).getLong(0); comms(i) = init(i).getLong(1)
+            idx(ids(i)) = i
+            sizes(comms(i)) = sizes.getOrElse(comms(i), 0L) + 1L
+            i += 1
+          }
+          val sc = spark2.sparkContext
+          val commR = new StateMap.Ref(sc.broadcast(StateMap.longLong(ids, comms, n)))
+          val sizeR = new StateMap.Ref(sc.broadcast(StateMap.longLong(sizes)))
+          val sym = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+          val rows = graft.algo.Hedonic.stepPlanMap(sym, commR, sizeR, alpha, lit(true))
+            .collect()
+          var k = 0
+          while (k < rows.length) {
+            val r = rows(k)
+            idx.get(r.getLong(0)).foreach { at =>
+              if (r.getBoolean(2)) comms(at) = r.getLong(1)
+            }
+            k += 1
+          }
+          println(s"    movers=${rows.length}")
+          noop(spark2.createDataFrame(
+            sc.parallelize(0 until n, 8)
+              .map(j => org.apache.spark.sql.Row(ids(j), comms(j))),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("community",
+                org.apache.spark.sql.types.LongType, nullable = false)))))
+        }
+      }),
       // ---- containment candidate-count A/B (deterministic, noise-free):
       // old candidate rule (distinct + size prune) vs new (groupBy + the
       // one-sided positional bound) over the same ranked shingle cache.

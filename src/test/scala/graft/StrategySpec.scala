@@ -39,6 +39,33 @@ class StrategySpec extends SparkSpec {
     assert(toMap(mB) == toMap(mS))
   }
 
+  test("hedonic: ONE-superstep run (map one-shot fast path) matches the shuffle step") {
+    val e = edgesOf(pairs)
+    // multi-label init so the single ungated step has real movers
+    val init = membersOf(Seq((0L, 5L), (1L, 0L), (2L, 0L), (3L, 1L),
+      (4L, 1L), (5L, 0L), (6L, 1L), (7L, 5L)))
+    val cfg = Hedonic.Config(maxSupersteps = 1, parityGating = false)
+    val (mB, metB) = Hedonic.run(e, init, cfg) // map one-shot fast path
+    val (mS, metS) = Hedonic.run(e, init, cfg.copy(broadcastStateMaxRows = 0L))
+    assert(toMap(mB) == toMap(mS))
+    assert(metB.map(m => (m.superstep, m.moved, m.frontier)) ==
+      metS.map(m => (m.superstep, m.moved, m.frontier)))
+    // gated variant: the parity gate must key on the vertex id either way
+    val cfgG = Hedonic.Config(maxSupersteps = 1)
+    val (mBg, _) = Hedonic.run(e, init, cfgG)
+    val (mSg, _) = Hedonic.run(e, init, cfgG.copy(broadcastStateMaxRows = 0L))
+    assert(toMap(mBg) == toMap(mSg))
+    // weighted variant through the same fast path
+    import spark.implicits._
+    val wedges = pairs.map { case (u, v) =>
+      graft.model.Edge(u, v, ((u * 3 + v) % 4 + 1).toDouble)
+    }.toDS()
+    val cfgW = Hedonic.Config(maxSupersteps = 1, parityGating = false, weighted = true)
+    val (mBw, _) = Hedonic.run(wedges, init, cfgW)
+    val (mSw, _) = Hedonic.run(wedges, init, cfgW.copy(broadcastStateMaxRows = 0L))
+    assert(toMap(mBw) == toMap(mSw))
+  }
+
   test("hedonic: WEIGHTED runs agree across strategies") {
     import spark.implicits._
     // Varied integral weights (shared-path counts) so the weighted payoff
