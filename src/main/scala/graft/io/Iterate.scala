@@ -29,10 +29,28 @@ object Iterate {
     "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
   catch { case _: Throwable => () }
 
-  def pin(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
-    c.sparkSession.createDataFrame(c.rdd, c.schema)
-  }
+  /** The stats-free re-wrap: the checkpointed plan is a LogicalRDD over
+    * the cached INTERNAL-row RDD — wrap that RDD directly
+    * (GraftExpressionBridge.internalDataFrame), so consumers scan the
+    * compact cache with zero conversion. The public-API fallback
+    * (`createDataFrame(c.rdd, ...)`) deserializes every cached row into a
+    * boxed Row and re-encodes it on EVERY consumer pass — measured ~0.3 s
+    * per scan of the sf0.1 edge pin, and gather-shaped queries scan a pin
+    * up to 6x (sym doubles it, members twice more). Both wraps produce a
+    * LogicalRDD with flat default stats — the barrier this object exists
+    * for. */
+  private def rewrap(c: DataFrame): DataFrame =
+    c.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    } match {
+      case Some(internal) =>
+        org.apache.spark.sql.GraftExpressionBridge.internalDataFrame(
+          c.sparkSession, internal, c.schema)
+      case None => c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+
+  def pin(df: DataFrame): DataFrame =
+    rewrap(df.localCheckpoint(true))
 
   /** A pinned iteration state plus the column sums observed while pinning.
     * `release()` drops the backing cache once the NEXT state is pinned —
@@ -58,7 +76,7 @@ object Iterate {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
     val n = c.count() // over the cache, no row conversion
-    new Pinned(c.sparkSession.createDataFrame(c.rdd, c.schema), Array(n.toDouble),
+    new Pinned(rewrap(c), Array(n.toDouble),
       () => internal.foreach(_.unpersist(blocking = false)))
   }
 

@@ -273,6 +273,92 @@ object BenchExtra {
         timed("  inter") { noop(inter) }
         sh.unpersist(); candsP.unpersist()
       }),
+      // ---- one-shot gather family: inner costs after the extraction pin
+      "gather_family" -> (() => timed("gather_family") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        val eS = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_orderkey", 1000).toDF())
+          .as[graft.model.Edge]
+        def m0(ed: org.apache.spark.sql.Dataset[graft.model.Edge]) =
+          graft.graph.GraphOps.vertices(ed).select(col("id"), (col("id") % 3).as("community"))
+        val symD = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+        val symS = graft.graph.GraphOps.symmetrize(eS).select("src", "dst")
+        timed("  gather_inner") { noop(graft.algo.Hedonic.gather(symD, m0(e))) }
+        timed("  payoff_inner") {
+          val alpha = graft.graph.GraphOps.density(e)
+          noop(graft.algo.Hedonic.payoffs(symD, m0(e), alpha)
+            .select(col("id"), col("community"), col("friends"), col("strangers"),
+              round(col("payoff"), 6).as("payoff")))
+        }
+        timed("  satisfaction_inner") { noop(graft.eval.Metrics.satisfaction(e, m0(e))) }
+        timed("  robustness_inner") {
+          println("    rob=" + graft.eval.Metrics.robustness(e, m0(e)))
+        }
+        timed("  spectrum_inner") {
+          noop(graft.eval.Metrics.resolutionSpectrum(e, m0(e), (0 to 10).map(_ / 10.0))
+            .select(col("alpha"), round(col("equilibrium_fraction"), 6).as("equilibrium_fraction")))
+        }
+        timed("  onepass_inner") { noop(graft.algo.Hedonic.onePass(symS, m0(eS))) }
+        timed("  wanting_inner") { noop(graft.algo.Hedonic.wantingToMove(symS, m0(eS))) }
+        timed("  stability_inner") {
+          noop(graft.algo.Hedonic.communityStability(symS, m0(eS), 0L))
+        }
+      }),
+      // ---- gather micro-decomposition
+      "gather_micro" -> (() => timed("gather_micro") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        val m0 = graft.graph.GraphOps.vertices(e)
+          .select(col("id"), (col("id") % 3).as("community"))
+        val symD = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+        timed("  scan_pin") { noop(e.toDF()) }
+        timed("  sym_noop") { noop(symD) }
+        timed("  m0_noop") { noop(m0) }
+        timed("  join_noop") {
+          noop(symD.join(m0.select(col("id").as("dst"), col("community")), Seq("dst"))
+            .select(col("src").as("id"), col("community")))
+        }
+        timed("  join_agg_noop") {
+          noop(symD.join(m0.select(col("id").as("dst"), col("community")), Seq("dst"))
+            .select(col("src").as("id"), col("community"))
+            .groupBy("id", "community").agg(count(lit(1)).as("friends")))
+        }
+        timed("  full_gather") { noop(graft.algo.Hedonic.gather(symD, m0)) }
+        timed("  full_gather2") { noop(graft.algo.Hedonic.gather(symD, m0)) }
+      }),
+      // ---- gather: plain vs broadcast-members A/B
+      "gather_bcast_ab" -> (() => timed("gather_bcast_ab") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        val m0 = graft.graph.GraphOps.vertices(e)
+          .select(col("id"), (col("id") % 3).as("community"))
+        val symD = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+        timed("  gather_plain") { noop(graft.algo.Hedonic.gather(symD, m0)) }
+        timed("  gather_bcast") {
+          // inline gather with the members side explicitly broadcast
+          val nbrComm = broadcast(m0.select(col("id").as("dst"), col("community")))
+          val friendRows = symD.join(nbrComm, Seq("dst"))
+            .select(col("src").as("id"), col("community"), lit(1L).cast("double").as("friends"))
+          noop(friendRows
+            .unionByName(m0.select(col("id"), col("community"), lit(0.0).as("friends")))
+            .groupBy("id", "community").agg(sum("friends").as("friends"))
+            .withColumn("friends", col("friends").cast("long")))
+        }
+        timed("  gather_plain2") { noop(graft.algo.Hedonic.gather(symD, m0)) }
+        timed("  gather_bcast2") {
+          val nbrComm = broadcast(m0.select(col("id").as("dst"), col("community")))
+          val friendRows = symD.join(nbrComm, Seq("dst"))
+            .select(col("src").as("id"), col("community"), lit(1L).cast("double").as("friends"))
+          noop(friendRows
+            .unionByName(m0.select(col("id"), col("community"), lit(0.0).as("friends")))
+            .groupBy("id", "community").agg(sum("friends").as("friends"))
+            .withColumn("friends", col("friends").cast("long")))
+        }
+      }),
       // ---- q_move1 A/B: one ungated superstep via run() (pack build +
       // dense-index kernel) vs a map-state one-shot that skips the pack
       // (stepPlanMap over the symmetrized rows, state as broadcast maps).
