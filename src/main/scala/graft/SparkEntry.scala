@@ -134,14 +134,15 @@ object SparkEntry {
 
     // NOTE (round 6): routing this one-shot vote through the
     // broadcast-state LabelPropagation.run was tried and measured SLOWER
-    // (3.9 -> 5.1 s): a single majority-vote gather is one cheap
-    // aggregate, so the pack build + dense-index remap never amortize.
-    // Kept as the direct step deliberately (q_move1's hedonic step, with
-    // its heavier payoff/argmax chain, DID profit from the same routing).
+    // (3.9 -> 5.1 s): the pack build + dense-index remap never amortize
+    // over one step. The MAP-state one-shot (bestLabels — broadcast label
+    // map, no pack, no E-row join; the q_move1 trick) measured FASTER
+    // (2.4-2.9 -> 1.6-2.0 s, BenchExtra lpa1_ab) and is scale-gated with
+    // step() as the over-budget fallback; value-identical (StrategySpec).
     "q_lpa1" -> ((s, dir) => {
       val e = graph(s, dir)
       val labels = GraphOps.vertices(e).select(col("id"), (col("id") % 3).as("label"))
-      LabelPropagation.step(GraphOps.symmetrize(e).select("src", "dst"), labels)
+      LabelPropagation.bestLabels(GraphOps.symmetrize(e).select("src", "dst"), labels)
         .select(col("id"), col("bestLabel").as("label"))
     }),
 
@@ -502,10 +503,11 @@ object SparkEntry {
 
     "q_wdegrees" -> ((s, dir) => GraphOps.strengths(graph(s, dir))),
 
+    // map-state one-shot like q_lpa1 (weighted votes)
     "q_wlpa1" -> ((s, dir) => {
       val e = graph(s, dir)
       val labels = GraphOps.vertices(e).select(col("id"), (col("id") % 3).as("label"))
-      LabelPropagation.step(GraphOps.symmetrize(e), labels, weighted = true)
+      LabelPropagation.bestLabels(GraphOps.symmetrize(e), labels, weighted = true)
         .select(col("id"), col("bestLabel").as("label"))
     }),
 

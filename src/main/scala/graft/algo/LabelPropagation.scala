@@ -116,6 +116,56 @@ object LabelPropagation {
     labels
   }
 
+  /** One-shot majority vote (the q_lpa1 / q_wlpa1 shape) with the same
+    * scale-gated strategy split as run(): a label state within the
+    * broadcast budget executes stepPlanMap straight over the symmetrized
+    * rows — state enters as a broadcast primitive map, so the E-row
+    * gather JOIN of step() (and the pack build run() would pay — measured
+    * a net loss for one step in the first round-6 session) both
+    * disappear; only changer rows come back and the driver merge keeps
+    * everyone else's label. Larger states fall back to the plan-side
+    * step(). Output (id, bestLabel) per label row — value-identical to
+    * step(sym, labels, weighted).select(id, bestLabel) (StrategySpec). */
+  def bestLabels(sym: DataFrame, labels: DataFrame, weighted: Boolean = false,
+                 broadcastStateMaxRows: Long = 4000000L): DataFrame = {
+    val spark = labels.sparkSession
+    val cap = math.min(broadcastStateMaxRows, Int.MaxValue - 2L).toInt
+    val lab0 = labels.select("id", "label").limit(cap + 1).collect()
+    if (lab0.length > broadcastStateMaxRows)
+      return step(sym, labels, weighted).select(col("id"), col("bestLabel"))
+    import graft.util.StateMap
+    val n = lab0.length
+    val ids = new Array[Long](n)
+    val labs = new Array[Long](n)
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) {
+      ids(i) = lab0(i).getLong(0); labs(i) = lab0(i).getLong(1)
+      idx(ids(i)) = i; i += 1
+    }
+    val sc = spark.sparkContext
+    val labB = sc.broadcast(StateMap.longLong(ids, labs, n))
+    val rows = stepPlanMap(sym, new StateMap.Ref(labB), weighted, lit(true)).collect()
+    labB.destroy()
+    var k = 0
+    while (k < rows.length) {
+      val r = rows(k)
+      idx.get(r.getLong(0)).foreach(at => labs(at) = r.getLong(1))
+      k += 1
+    }
+    // same parallelize shape as the driver-state loops' stateDF (no
+    // LocalRelation — see Hedonic.runDriverState)
+    val idsL = ids; val labsL = labs
+    val slices = math.max(1, math.min(sc.defaultParallelism, n / 65536 + 1))
+    val rdd = sc.parallelize(0 until n, slices)
+      .map(j => org.apache.spark.sql.Row(idsL(j), labsL(j)))
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bestLabel",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** The driver-state iteration's plan over a broadcast id -> label map
     * (graft.util.StateMap lookup expressions — see Hedonic.stepPlanMap for
     * why this beats LocalRelation + broadcast join): gather votes over the

@@ -306,6 +306,61 @@ object BenchExtra {
           noop(graft.algo.Hedonic.communityStability(symS, m0(eS), 0L))
         }
       }),
+      // ---- gather family: plain m0 (distinct re-derived per reference)
+      // vs pinned m0 (one distinct job, every reference scans the cache)
+      "m0pin_ab" -> (() => timed("m0pin_ab") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        val symD = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+        def m0 = graft.graph.GraphOps.vertices(e)
+          .select(col("id"), (col("id") % 3).as("community"))
+        def payoffOut(m: org.apache.spark.sql.DataFrame) = {
+          val alpha = graft.graph.GraphOps.density(e)
+          graft.algo.Hedonic.payoffs(symD, m, alpha)
+            .select(col("id"), col("community"), col("friends"), col("strangers"),
+              round(col("payoff"), 6).as("payoff"))
+        }
+        timed("  payoff_plain") { noop(payoffOut(m0)) }
+        timed("  payoff_m0pin") { noop(payoffOut(graft.io.Iterate.pin(m0))) }
+        timed("  spectrum_plain") {
+          noop(graft.eval.Metrics.resolutionSpectrum(e, m0, (0 to 10).map(_ / 10.0)))
+        }
+        timed("  spectrum_m0pin") {
+          noop(graft.eval.Metrics.resolutionSpectrum(e, graft.io.Iterate.pin(m0),
+            (0 to 10).map(_ / 10.0)))
+        }
+        timed("  satisfaction_plain") { noop(graft.eval.Metrics.satisfaction(e, m0)) }
+        timed("  satisfaction_m0pin") {
+          noop(graft.eval.Metrics.satisfaction(e, graft.io.Iterate.pin(m0)))
+        }
+      }),
+      // ---- lpa1: plan-side step vs map-state one-shot A/B
+      "lpa1_ab" -> (() => timed("lpa1_ab") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        val labels = graft.graph.GraphOps.vertices(e)
+          .select(col("id"), (col("id") % 3).as("label"))
+        val symP = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+        val symW = graft.graph.GraphOps.symmetrize(e)
+        timed("  step_plain") {
+          noop(graft.algo.LabelPropagation.step(symP, labels)
+            .select(col("id"), col("bestLabel").as("label")))
+        }
+        timed("  best_oneshot") {
+          noop(graft.algo.LabelPropagation.bestLabels(symP, labels)
+            .select(col("id"), col("bestLabel").as("label")))
+        }
+        timed("  wstep_plain") {
+          noop(graft.algo.LabelPropagation.step(symW, labels, weighted = true)
+            .select(col("id"), col("bestLabel").as("label")))
+        }
+        timed("  wbest_oneshot") {
+          noop(graft.algo.LabelPropagation.bestLabels(symW, labels, weighted = true)
+            .select(col("id"), col("bestLabel").as("label")))
+        }
+      }),
       // ---- gather micro-decomposition
       "gather_micro" -> (() => timed("gather_micro") {
         val e = graft.io.Iterate.pin(

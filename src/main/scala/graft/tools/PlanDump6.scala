@@ -169,6 +169,35 @@ object PlanDump6 {
         cp.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
       csh.unpersist(blocking = false)
     }
+    // q_lpa1's one-shot vote runs during construction (bestLabels collect),
+    // so its public plan is a parallelize scan; dump the plan-side step()
+    // (the over-budget fallback and pre-change shape) and the map-state
+    // vote plan it replaced it with.
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.util.StateMap
+      val li2 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val e = graft.io.Iterate.pin(
+        graft.ingest.EdgeExtraction.cooccurrence(li2, "l_suppkey", "l_partkey", 1000).toDF())
+        .as[graft.model.Edge](org.apache.spark.sql.Encoders.product[graft.model.Edge])
+      val labels = graft.graph.GraphOps.vertices(e)
+        .select(col("id"), (col("id") % 3).as("label"))
+      val symP = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+      val stepPlan = graft.algo.LabelPropagation.step(symP, labels)
+        .select(col("id"), col("bestLabel").as("label"))
+      Files.writeString(Paths.get(s"plans/r06/q_lpa1_internal_stepform_$tag.txt"),
+        stepPlan.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      val labB = spark.sparkContext.broadcast(StateMap.longLong(Array(0L), Array(0L), 1))
+      val mapPlan = graft.algo.LabelPropagation.stepPlanMap(
+        symP, new StateMap.Ref(labB), weighted = false,
+        org.apache.spark.sql.functions.lit(true))
+      Files.writeString(Paths.get(s"plans/r06/q_lpa1_internal_mapform_$tag.txt"),
+        mapPlan.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      labB.destroy()
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(

@@ -66,6 +66,27 @@ class StrategySpec extends SparkSpec {
     assert(toMap(mBw) == toMap(mSw))
   }
 
+  test("lpa: bestLabels one-shot matches step() on both sides of the budget") {
+    import spark.implicits._
+    val e = edgesOf(pairs)
+    val labels = graft.graph.GraphOps.vertices(e)
+      .select(col("id"), (col("id") % 3).as("label"))
+    val symP = graft.graph.GraphOps.symmetrize(e).select("src", "dst")
+    val symW = graft.graph.GraphOps.symmetrize(e)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStep = m(LabelPropagation.step(symP, labels)
+      .select(col("id"), col("bestLabel")))
+    assert(m(LabelPropagation.bestLabels(symP, labels)) == viaStep)
+    // over-budget fallback path
+    assert(m(LabelPropagation.bestLabels(symP, labels,
+      broadcastStateMaxRows = 0L)) == viaStep)
+    // weighted votes
+    val viaStepW = m(LabelPropagation.step(symW, labels, weighted = true)
+      .select(col("id"), col("bestLabel")))
+    assert(m(LabelPropagation.bestLabels(symW, labels, weighted = true)) == viaStepW)
+  }
+
   test("hedonic: WEIGHTED runs agree across strategies") {
     import spark.implicits._
     // Varied integral weights (shared-path counts) so the weighted payoff
