@@ -67,6 +67,19 @@ object SparkEntry {
   private def m0(edges: org.apache.spark.sql.Dataset[Edge]): DataFrame =
     GraphOps.vertices(edges).select(col("id"), (col("id") % 3).as("community"))
 
+  /** PINNED m0 — for the one-shot gather/analytics queries whose plans
+    * reference the membership 3-4x (gather's neighbor+union sides, the
+    * size aggregate, the current-community join): un-pinned, each
+    * reference re-runs the 2E-row vertex distinct; pinned, one distinct
+    * job feeds a V-row cache every reference scans. Measured (BenchExtra
+    * m0pin_ab, sf0.1): q_payoff-shape 4.3-5.3 -> 2.8-2.9 s, spectrum
+    * 3.6-3.9 -> 2.2 s, satisfaction 3.1-3.5 -> 2.0 s. Single-reference
+    * sites (q_ari, q_induced) and the iterative runs (which collect or
+    * pin their state internally) keep plain m0 — there the pin would be
+    * a pure extra job. */
+  private def m0p(edges: org.apache.spark.sql.Dataset[Edge]): DataFrame =
+    graft.io.Iterate.pin(m0(edges))
+
   /** Flagship: full repo pipeline — synthesize a blocky repo-file table,
     * stamp sha256, extract co-occurrence edges, run hedonic to equilibrium,
     * report community sizes. Driver smoke-checks rows > 0 on sf0.001. */
@@ -98,13 +111,13 @@ object SparkEntry {
 
     "q_gather" -> ((s, dir) => {
       val e = graph(s, dir)
-      Hedonic.gather(GraphOps.symmetrize(e).select("src", "dst"), m0(e))
+      Hedonic.gather(GraphOps.symmetrize(e).select("src", "dst"), m0p(e))
     }),
 
     "q_payoff" -> ((s, dir) => {
       val e = graph(s, dir)
       val alpha = GraphOps.density(e)
-      Hedonic.payoffs(GraphOps.symmetrize(e).select("src", "dst"), m0(e), alpha)
+      Hedonic.payoffs(GraphOps.symmetrize(e).select("src", "dst"), m0p(e), alpha)
         .select(col("id"), col("community"), col("friends"), col("strangers"),
           round(col("payoff"), 6).as("payoff"))
     }),
@@ -157,20 +170,20 @@ object SparkEntry {
 
     "q_satisfaction" -> ((s, dir) => {
       val e = graph(s, dir)
-      Metrics.satisfaction(e, m0(e))
+      Metrics.satisfaction(e, m0p(e))
     }),
 
     "q_merge_gain" -> ((s, dir) => {
       val e = graph(s, dir)
       val alpha = GraphOps.density(e)
-      graft.algo.Leiden.mergeGains(e, m0(e), alpha)
+      graft.algo.Leiden.mergeGains(e, m0p(e), alpha)
         .select(col("ca"), col("cb"), col("between"),
           round(col("gain"), 6).as("gain"))
     }),
 
     "q_robustness" -> ((s, dir) => {
       val e = graph(s, dir)
-      val rob = Metrics.robustness(e, m0(e))
+      val rob = Metrics.robustness(e, m0p(e))
       s.range(1).select(round(lit(rob), 6).as("robustness"))
     }),
 
@@ -219,7 +232,7 @@ object SparkEntry {
     // restricted to intra-community edges.
     "q_leiden_refine" -> ((s, dir) => {
       val e = graphThin(s, dir)
-      graft.algo.Leiden.refine(e, m0(e))
+      graft.algo.Leiden.refine(e, m0p(e))
     }),
 
     // Cap 40 matches Oracles.hedonicFrontier(40) level-for-level (the run
@@ -307,7 +320,7 @@ object SparkEntry {
 
     "q_spectrum" -> ((s, dir) => {
       val e = graph(s, dir)
-      Metrics.resolutionSpectrum(e, m0(e), (0 to 10).map(_ / 10.0))
+      Metrics.resolutionSpectrum(e, m0p(e), (0 to 10).map(_ / 10.0))
         .select(col("alpha"), round(col("equilibrium_fraction"), 6).as("equilibrium_fraction"))
     }),
 
@@ -459,25 +472,25 @@ object SparkEntry {
     "q_onepass" -> ((s, dir) => {
       // M4: one-pass hedonic improvement at alpha = 0.
       val e = graphSparse(s, dir)
-      Hedonic.onePass(GraphOps.symmetrize(e).select("src", "dst"), m0(e))
+      Hedonic.onePass(GraphOps.symmetrize(e).select("src", "dst"), m0p(e))
     }),
 
     "q_wanting" -> ((s, dir) => {
       // A11: per-community count of nodes preferring it (alpha = 0).
       val e = graphSparse(s, dir)
-      Hedonic.wantingToMove(GraphOps.symmetrize(e).select("src", "dst"), m0(e))
+      Hedonic.wantingToMove(GraphOps.symmetrize(e).select("src", "dst"), m0p(e))
     }),
 
     "q_stability" -> ((s, dir) => {
       // A12: stability of community 0 under m0 (binary collapse).
       val e = graphSparse(s, dir)
-      Hedonic.communityStability(GraphOps.symmetrize(e).select("src", "dst"), m0(e), 0L)
+      Hedonic.communityStability(GraphOps.symmetrize(e).select("src", "dst"), m0p(e), 0L)
     }),
 
     "q_cluster_degree_fp" -> ((s, dir) => {
       // A20: within-cluster degree-distribution fingerprint under m0.
       val e = graphSparse(s, dir)
-      Metrics.clusterDegreeFingerprint(e, m0(e))
+      Metrics.clusterDegreeFingerprint(e, m0p(e))
     }),
 
     // --------------------------- weighted-graph ops (oracled) — the
