@@ -62,7 +62,25 @@ object ConnectedComponents {
       .dropDuplicates("src", "dst")
   }
 
-  def run(edges: Dataset[Edge], maxIter: Int = 50): DataFrame = {
+  def run(edges: Dataset[Edge], maxIter: Int = 50,
+          maxDriverEdges: Long = 4000000L): DataFrame = {
+    // Scale-gated strategy split (round 6) — the engine's broadcast-state
+    // playbook (Hedonic.run / LabelPropagation.run): a pair table within
+    // the driver budget is resolved with ONE collect + union-find instead
+    // of the star-contraction loop, whose per-round fixed cost (3
+    // exchanges + pin + convergence check, x O(log^2 V) rounds) dwarfs
+    // the actual work on small inputs — dedupSurvivors' pair graphs and
+    // Leiden.refine's intra-community slices are tiny by construction at
+    // any corpus scale. limit(cap+1) keeps an over-budget table off the
+    // driver (the capped collect just signals "too big"); larger inputs
+    // run the large/small-star loop below unchanged, so the 100 TB path
+    // is exactly the code it was. Labels are identical by construction:
+    // union-by-minimum keeps every union-find root the component minimum,
+    // the same canonical comp = min(component) the star loop converges
+    // to (AlgoSpec pins both paths against runNaive).
+    val cap = math.min(maxDriverEdges, Int.MaxValue - 2L).toInt
+    val eCap = edges.select(col("src"), col("dst")).limit(cap + 1).collect()
+    if (eCap.length <= maxDriverEdges) return runDriver(edges.sparkSession, eCap)
     // Per round: pin + cache-count (pinCount, InternalRow cache — no
     // row boxing) + the union-distinct job only when the counts already
     // agree; the previous round's count carries forward (the old loop
@@ -100,6 +118,55 @@ object ConnectedComponents {
     val roots = labels.select(col("comp")).distinct()
       .select(col("comp").as("id"), col("comp"))
     labels.unionByName(roots)
+  }
+
+  /** Driver-side union-find over a budget-bounded pair collect (the small
+    * branch of run()'s strategy split). Union-by-minimum: merging roots
+    * attaches the larger to the smaller, so every root stays its
+    * component's minimum id and find(v) is exactly the star loop's
+    * canonical comp label; path compression keeps it near-linear. */
+  private def runDriver(spark: org.apache.spark.sql.SparkSession,
+                        rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new scala.collection.mutable.LongMap[Long](rows.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp // compression
+        x = gp
+      }
+      x
+    }
+    var i = 0
+    while (i < rows.length) {
+      val a = rows(i).getLong(0); val b = rows(i).getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      i += 1
+    }
+    val n = parent.size
+    val ids = new Array[Long](n)
+    val comps = new Array[Long](n)
+    var j = 0
+    parent.foreachKey { v => ids(j) = v; j += 1 }
+    j = 0
+    while (j < n) { comps(j) = find(ids(j)); j += 1 }
+    // same parallelize shape as the driver-state loops' stateDF
+    val idsL = ids; val compsL = comps
+    val slices = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, n / 65536 + 1))
+    val rdd = spark.sparkContext.parallelize(0 until n, slices)
+      .map(k => org.apache.spark.sql.Row(idsL(k), compsL(k)))
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Naive min-label propagation — O(diameter) supersteps; the in-repo

@@ -214,15 +214,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == SerialOracle.components(Fixtures.threeComponents))
   }
 
-  test("large/small-star agrees with naive propagation on a long chain and Zachary") {
+  test("both strategies agree with naive propagation on a long chain and Zachary") {
     val chain = (0L until 40L).map(i => (i, i + 1))
     for (g <- Seq(chain, Fixtures.zachary)) {
       val e = edgesOf(g)
-      assert(toMap(ConnectedComponents.run(e)) == toMap(ConnectedComponents.runNaive(e)))
+      val naive = toMap(ConnectedComponents.runNaive(e))
+      // default budget -> driver union-find; budget 0 -> large/small-star
+      assert(toMap(ConnectedComponents.run(e)) == naive)
+      assert(toMap(ConnectedComponents.run(e, maxDriverEdges = 0L)) == naive)
     }
   }
 
-  test("random graphs: alternating-star == serial BFS (seeded)") {
+  test("random graphs: both strategies == serial BFS (seeded)") {
     val rnd = new scala.util.Random(1234)
     (1 to 3).foreach { _ =>
       val n = 30
@@ -230,7 +233,9 @@ class ConnectedComponentsSpec extends SparkSpec {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
       }.filter(p => p._1 != p._2)
       val e = edgesOf(pairs)
-      assert(toMap(ConnectedComponents.run(e)) == SerialOracle.components(pairs))
+      val expect = SerialOracle.components(pairs)
+      assert(toMap(ConnectedComponents.run(e)) == expect)
+      assert(toMap(ConnectedComponents.run(e, maxDriverEdges = 0L)) == expect)
     }
   }
 }
