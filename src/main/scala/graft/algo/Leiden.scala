@@ -31,13 +31,22 @@ object Leiden {
   def contract(edges: Dataset[Edge], members: DataFrame): (DataFrame, DataFrame) = {
     val m1 = members.select(col("id").as("src"), col("community").as("c1"))
     val m2 = members.select(col("id").as("dst"), col("community").as("c2"))
-    val lifted = edges.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
-    val metaEdges = lifted.filter(col("c1") =!= col("c2"))
-      .select(least(col("c1"), col("c2")).as("ca"),
-        greatest(col("c1"), col("c2")).as("cb"))
-      .groupBy("ca", "cb").agg(count(lit(1)).as("between"))
-    val eIn = lifted.filter(col("c1") === col("c2"))
-      .groupBy(col("c1").as("community")).agg(count(lit(1)).as("ein"))
+    // ONE pass over the lifted edges (round 6): the old shape referenced
+    // the two E-row membership joins TWICE — once for the cross-community
+    // slice, once for the intra slice — and every consumer re-ran both.
+    // Canonicalizing (ca <= cb) folds the intra rows into the ca == cb
+    // diagonal of a single count aggregate; the tiny (<= C^2-row) result
+    // is pinned so both outputs scan it (cache is query-scoped — at most
+    // one C^2-row pin per merge round, released with the session purge).
+    val counts = graft.io.Iterate.pin(
+      edges.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
+        .select(least(col("c1"), col("c2")).as("ca"),
+          greatest(col("c1"), col("c2")).as("cb"))
+        .groupBy("ca", "cb").agg(count(lit(1)).as("cnt")))
+    val metaEdges = counts.filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"), col("cnt").as("between"))
+    val eIn = counts.filter(col("ca") === col("cb"))
+      .select(col("ca").as("community"), col("cnt").as("ein"))
     val stats = members.groupBy("community").agg(count(lit(1)).as("n"))
       .join(eIn, Seq("community"), "left")
       .select(col("community"), col("n"), coalesce(col("ein"), lit(0L)).as("ein"))

@@ -21,28 +21,37 @@ object Metrics {
       .join(p2.select(col("id"), col("community").as("c2")), Seq("id"))
       .groupBy("c1", "c2").agg(count(lit(1)).as("n"))
 
-  /** Adjusted Rand Index, closed form over the contingency table.
-    * Two jobs over the cached table (round 6; was four): the cell-pair sum
-    * rides the total-count pass, and both marginal-pair sums come from one
-    * GROUPING SETS aggregate (grouping() flags tell the rows apart).
-    * Identical arithmetic per term — only the job count changed. */
+  /** Adjusted Rand Index, closed form over the contingency counts.
+    * ONE job (round 6; was four, then two): a single GROUPING SETS
+    * aggregate straight off the id-join computes the cells and BOTH
+    * marginals (grouping() flags tell the slices apart — cell t's are the
+    * contingency n's, marginal t's their per-side sums, exactly the values
+    * the old cached-table passes produced), and a final single-row
+    * aggregate folds the four sums. Identical arithmetic per term
+    * (same c2 formula on the same longs) — only the job count changed. */
   def adjustedRandIndex(p1: DataFrame, p2: DataFrame): Double = {
-    val ct = contingency(p1, p2).persist()
     def c2(c: org.apache.spark.sql.Column) = c * (c - 1) / lit(2.0)
-    val r1 = ct.agg(coalesce(sum(c2(col("n"))), lit(0.0)),
-      coalesce(sum("n"), lit(0L))).collect()(0)
-    val sumIj = r1.getDouble(0)
-    val n = r1.getLong(1).toDouble
-    val r2 = ct
-      .groupingSets(Seq(Seq(col("c1")), Seq(col("c2"))), col("c1"), col("c2"))
-      .agg(sum(col("n")).as("t"), grouping(col("c1")).as("g1"))
+    val joined = p1.select(col("id"), col("community").as("c1"))
+      .join(p2.select(col("id"), col("community").as("c2")), Seq("id"))
+    val cell = col("g1") === 0 && col("g2") === 0
+    val margA = col("g1") === 0 && col("g2") === 1 // c1 kept, c2 rolled up
+    val margB = col("g1") === 1 && col("g2") === 0
+    val r = joined
+      .groupingSets(
+        Seq(Seq(col("c1"), col("c2")), Seq(col("c1")), Seq(col("c2"))),
+        col("c1"), col("c2"))
+      .agg(count(lit(1)).as("t"),
+        grouping(col("c1")).as("g1"), grouping(col("c2")).as("g2"))
       .agg(
-        coalesce(sum(when(col("g1") === 0, c2(col("t")))), lit(0.0)),
-        coalesce(sum(when(col("g1") === 1, c2(col("t")))), lit(0.0)))
+        coalesce(sum(when(cell, c2(col("t")))), lit(0.0)),
+        coalesce(sum(when(cell, col("t"))), lit(0L)),
+        coalesce(sum(when(margA, c2(col("t")))), lit(0.0)),
+        coalesce(sum(when(margB, c2(col("t")))), lit(0.0)))
       .collect()(0)
-    val sumA = r2.getDouble(0)
-    val sumB = r2.getDouble(1)
-    ct.unpersist()
+    val sumIj = r.getDouble(0)
+    val n = r.getLong(1).toDouble
+    val sumA = r.getDouble(2)
+    val sumB = r.getDouble(3)
     val totalPairs = n * (n - 1) / 2.0
     if (totalPairs == 0) return 1.0
     val expected = sumA * sumB / totalPairs
