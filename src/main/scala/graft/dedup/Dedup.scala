@@ -257,12 +257,25 @@ object Dedup {
           ceil(lit(threshold) * col("sza") - lit(1e-9)) - 1,
           col("szb") - col("mb"))
         >= lit(threshold) * col("sza") - lit(1e-9))
-      .select("ida", "idb", "sza")
-    val inter = cands
-      .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+      .select("ida", "idb", "sza", "cnt")
+    // Verification recounts only A's SUFFIX (round 6):
+    // |A∩B| = cnt + |suffix(A) ∩ B| exactly — cnt already counts
+    // prefix(A) ∩ B (the candidate join's b-side is the full table), and
+    // prefix/suffix partition A, so intersecting with B distributes. Only
+    // the ceil(t·sza) − 1 suffix rows per doc (~t of the kept table)
+    // enter the expensive recount join. A candidate whose shared shingles
+    // all sit in the prefix yields no suffix row — hence the left join +
+    // coalesce, never a dropped pair. Same final inter value, same craw
+    // test (oracle green).
+    val suffix = sh.filter(
+      col("rk") > col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+    val interSuf = cands
+      .join(suffix.select(col("id").as("ida"), col("sh")), Seq("ida"))
       .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
-      .groupBy("ida", "idb", "sza").agg(count(lit(1)).as("inter"))
-    val pairs = inter
+      .groupBy("ida", "idb").agg(count(lit(1)).as("isuf"))
+    val pairs = cands
+      .join(interSuf, Seq("ida", "idb"), "left")
+      .withColumn("inter", col("cnt") + coalesce(col("isuf"), lit(0L)))
       .withColumn("craw", col("inter").cast("double") / col("sza"))
       .filter(col("craw") >= threshold)
       .select(col("ida"), col("idb"), round(col("craw"), 6).as("containment"))
