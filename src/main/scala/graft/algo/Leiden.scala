@@ -33,16 +33,20 @@ object Leiden {
     val m2 = members.select(col("id").as("dst"), col("community").as("c2"))
     // ONE pass over the lifted edges (round 6): the old shape referenced
     // the two E-row membership joins TWICE — once for the cross-community
-    // slice, once for the intra slice — and every consumer re-ran both.
-    // Canonicalizing (ca <= cb) folds the intra rows into the ca == cb
-    // diagonal of a single count aggregate; the tiny (<= C^2-row) result
-    // is pinned so both outputs scan it (cache is query-scoped — at most
-    // one C^2-row pin per merge round, released with the session purge).
-    val counts = graft.io.Iterate.pin(
+    // slice, once for the intra slice — and the differing filters kept
+    // the subtrees non-identical, so the planner re-ran both. Folding the
+    // intra rows into the ca == cb diagonal of a single canonicalized
+    // count aggregate makes both consumers share ONE identical subtree
+    // ending in the groupBy exchange — ReuseExchange executes the join +
+    // partial aggregation once and only the tiny post-shuffle slices run
+    // per consumer. (A pin here was tried and measured a net LOSS on
+    // q_leiden_full: one eager job per merge round outweighs the dedup on
+    // a thin graph; exchange reuse gets the one-pass for free.)
+    val counts =
       edges.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
         .select(least(col("c1"), col("c2")).as("ca"),
           greatest(col("c1"), col("c2")).as("cb"))
-        .groupBy("ca", "cb").agg(count(lit(1)).as("cnt")))
+        .groupBy("ca", "cb").agg(count(lit(1)).as("cnt"))
     val metaEdges = counts.filter(col("ca") =!= col("cb"))
       .select(col("ca"), col("cb"), col("cnt").as("between"))
     val eIn = counts.filter(col("ca") === col("cb"))
