@@ -195,7 +195,13 @@ object Similarity {
     * (qid, n_exact, n_hit, recall). The quality dial a corpus builder
     * tunes nProbe/nCells against — previously this property lived only in
     * tests. Cost: one exact topK over the query set (broadcast queries)
-    * plus one ivfTopK; the comparison itself is an ids-only semi-join. */
+    * plus one ivfTopK; the comparison itself is an ids-only semi-join.
+    *
+    * Cache ownership (ADVICE r5): the RETURNED frame is pinned (it must
+    * survive this call) and the CALLER owns that cache — a sweep calling
+    * annRecall repeatedly (RecallCurve) must release each result once
+    * consumed or it holds one dead cached RDD per call; the internal
+    * exact-arm scratch is released here before returning. */
   def annRecall(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCells: Int = 8, nProbe: Int = 2,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

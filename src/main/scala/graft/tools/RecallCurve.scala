@@ -31,6 +31,11 @@ object RecallCurve {
       val t0 = System.nanoTime()
       val r = Similarity.annRecall(e, queries, k, nCells, p)
         .agg(avg(col("recall"))).head().getDouble(0)
+      // annRecall's result pin is caller-owned (see its scaladoc); a sweep
+      // would otherwise hold one dead cached result per probe point.
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
       f""""p$p":{"nProbe":$p,"mean_recall":$r%.4f,"sec":$sec%.2f}"""
     }
