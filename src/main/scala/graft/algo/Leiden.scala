@@ -31,26 +31,23 @@ object Leiden {
   def contract(edges: Dataset[Edge], members: DataFrame): (DataFrame, DataFrame) = {
     val m1 = members.select(col("id").as("src"), col("community").as("c1"))
     val m2 = members.select(col("id").as("dst"), col("community").as("c2"))
-    // ONE pass over the lifted edges (round 6): the old shape referenced
-    // the two E-row membership joins TWICE — once for the cross-community
-    // slice, once for the intra slice — and the differing filters kept
-    // the subtrees non-identical, so the planner re-ran both. Folding the
-    // intra rows into the ca == cb diagonal of a single canonicalized
-    // count aggregate makes both consumers share ONE identical subtree
-    // ending in the groupBy exchange — ReuseExchange executes the join +
-    // partial aggregation once and only the tiny post-shuffle slices run
-    // per consumer. (A pin here was tried and measured a net LOSS on
-    // q_leiden_full: one eager job per merge round outweighs the dedup on
-    // a thin graph; exchange reuse gets the one-pass for free.)
-    val counts =
-      edges.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
-        .select(least(col("c1"), col("c2")).as("ca"),
-          greatest(col("c1"), col("c2")).as("cb"))
-        .groupBy("ca", "cb").agg(count(lit(1)).as("cnt"))
-    val metaEdges = counts.filter(col("ca") =!= col("cb"))
-      .select(col("ca"), col("cb"), col("cnt").as("between"))
-    val eIn = counts.filter(col("ca") === col("cb"))
-      .select(col("ca").as("community"), col("cnt").as("ein"))
+    // NOTE (round 6, negative result — twice): the two slices below
+    // reference the E-row membership joins twice. Folding the intra rows
+    // into the ca == cb diagonal of one canonicalized count aggregate was
+    // tried (a) with a pin — one eager job per merge round regressed
+    // q_leiden_full ~1 s — and (b) via identical-subtree exchange reuse —
+    // measured 0.43-0.54 -> 0.59-0.67 s per warm mergeGains call on the
+    // sf0.1 thin graph (BenchExtra leiden_ab): the heavier (ca, cb)
+    // grouping costs more than the shared pass saves at driver SF, and
+    // the merge loop multiplies it. Kept in the original two-slice form
+    // deliberately.
+    val lifted = edges.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
+    val metaEdges = lifted.filter(col("c1") =!= col("c2"))
+      .select(least(col("c1"), col("c2")).as("ca"),
+        greatest(col("c1"), col("c2")).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("between"))
+    val eIn = lifted.filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community")).agg(count(lit(1)).as("ein"))
     val stats = members.groupBy("community").agg(count(lit(1)).as("n"))
       .join(eIn, Seq("community"), "left")
       .select(col("community"), col("n"), coalesce(col("ein"), lit(0L)).as("ein"))

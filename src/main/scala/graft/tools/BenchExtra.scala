@@ -234,6 +234,70 @@ object BenchExtra {
           println("    iterMs=" + ms.mkString(","))
         }
       }),
+      // ---- Leiden contraction: old two-slice shape vs diagonal fold, and
+      // the full leiden_full query body, interleaved to cancel host drift
+      "leiden_ab" -> (() => timed("leiden_ab") {
+        val eThin = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(
+            li.filter(col("l_quantity") <= 1), "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        val m0 = graft.graph.GraphOps.vertices(eThin)
+          .select(col("id"), (col("id") % 3).as("community"))
+        val alpha = graft.graph.GraphOps.density(eThin)
+        def oldGains(): org.apache.spark.sql.DataFrame = {
+          val m1 = m0.select(col("id").as("src"), col("community").as("c1"))
+          val m2 = m0.select(col("id").as("dst"), col("community").as("c2"))
+          val lifted = eThin.toDF().join(m1, Seq("src")).join(m2, Seq("dst"))
+          val metaEdges = lifted.filter(col("c1") =!= col("c2"))
+            .select(least(col("c1"), col("c2")).as("ca"),
+              greatest(col("c1"), col("c2")).as("cb"))
+            .groupBy("ca", "cb").agg(count(lit(1)).as("between"))
+          val eIn = lifted.filter(col("c1") === col("c2"))
+            .groupBy(col("c1").as("community")).agg(count(lit(1)).as("ein"))
+          val stats = m0.groupBy("community").agg(count(lit(1)).as("n"))
+            .join(eIn, Seq("community"), "left")
+            .select(col("community"), col("n"), coalesce(col("ein"), lit(0L)).as("ein"))
+          metaEdges
+            .join(stats.select(col("community").as("ca"), col("n").as("na")), Seq("ca"))
+            .join(stats.select(col("community").as("cb"), col("n").as("nb")), Seq("cb"))
+            .withColumn("gain", col("between") - lit(alpha) * col("na") * col("nb"))
+        }
+        for (i <- 1 to 3) {
+          timed(s"  gains_old_$i") { noop(oldGains()) }
+          timed(s"  gains_new_$i") { noop(graft.algo.Leiden.mergeGains(eThin, m0, alpha)) }
+        }
+        for (i <- 1 to 2) {
+          timed(s"  leiden_full_$i") {
+            noop(graft.algo.Leiden.run(eThin, m0, levels = 2,
+              hedonicCfg = graft.algo.Hedonic.Config(maxSupersteps = 30), mergeRounds = 10))
+          }
+        }
+      }),
+      // ---- pagerank: indexed (reindex + dense kernels) vs hash kernels
+      // for SHORT runs (fixedIter = 3)
+      "pr3_idx_ab" -> (() => timed("pr3_idx_ab") {
+        val e = graft.io.Iterate.pin(
+          graft.ingest.EdgeExtraction.cooccurrence(li, "l_suppkey", "l_partkey", 1000).toDF())
+          .as[graft.model.Edge]
+        timed("  pr3_indexed") {
+          noop(graft.algo.PageRank.run(e, graft.algo.PageRank.Config(fixedIter = Some(3)))
+            .select(col("id"), round(col("rank"), 6).as("rank")))
+        }
+        timed("  pr3_hash") {
+          noop(graft.algo.PageRank.run(e,
+            graft.algo.PageRank.Config(fixedIter = Some(3), indexedState = false))
+            .select(col("id"), round(col("rank"), 6).as("rank")))
+        }
+        timed("  pr3_indexed2") {
+          noop(graft.algo.PageRank.run(e, graft.algo.PageRank.Config(fixedIter = Some(3)))
+            .select(col("id"), round(col("rank"), 6).as("rank")))
+        }
+        timed("  pr3_hash2") {
+          noop(graft.algo.PageRank.run(e,
+            graft.algo.PageRank.Config(fixedIter = Some(3), indexedState = false))
+            .select(col("id"), round(col("rank"), 6).as("rank")))
+        }
+      }),
       // ---- containment sub-steps
       "containment_steps" -> (() => timed("containment_steps") {
         import org.apache.spark.sql.expressions.Window
