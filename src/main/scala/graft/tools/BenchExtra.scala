@@ -234,6 +234,43 @@ object BenchExtra {
           println("    iterMs=" + ms.mkString(","))
         }
       }),
+      // ---- NEW-shape jaccard/containment decomposition (ranked cache)
+      "dedup_steps2" -> (() => timed("dedup_steps2") {
+        import org.apache.spark.sql.expressions.Window
+        val t = 0.4
+        val sh = graft.dedup.Dedup.shingleTable(docs, "doc_id", "text", 3)
+          .repartition(col("sh"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .filter(col("df") <= 1000)
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+          .select("id", "sh", "sz", "rk")
+          .persist()
+        timed("  cache_build") { println("    rows=" + sh.count()) }
+        val pref = sh
+          .filter(col("rk") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
+          .select(col("sh"), col("id"), col("sz"), col("rk"))
+        val cands = pref.select(col("sh"), col("id").as("ida"), col("sz").as("sza"),
+            col("rk").as("rka"))
+          .join(pref.select(col("sh"), col("id").as("idb"), col("sz").as("szb"),
+            col("rk").as("rkb")), Seq("sh"))
+          .filter(col("ida") < col("idb"))
+          .filter(lit(t) * greatest(col("sza"), col("szb")) - lit(1e-9)
+            <= least(col("sza"), col("szb")))
+          .groupBy("ida", "idb", "sza", "szb")
+          .agg(count(lit(1)).as("cnt"), max(col("rka")).as("ma"), max(col("rkb")).as("mb"))
+          .filter(col("cnt") + least(col("sza") - col("ma"), col("szb") - col("mb"))
+            >= lit(t) / (1.0 + t) * (col("sza") + col("szb")) - lit(1e-9))
+          .select("ida", "idb", "sza", "szb").persist()
+        timed("  cands") { println("    cands=" + cands.count()) }
+        val inter = cands
+          .join(sh.select(col("id").as("ida"), col("sh")), Seq("ida"))
+          .join(sh.select(col("id").as("idb"), col("sh")), Seq("idb", "sh"))
+          .groupBy("ida", "idb", "sza", "szb").agg(count(lit(1)).as("inter"))
+        timed("  verify_join") { noop(inter) }
+        sh.unpersist(); cands.unpersist()
+      }),
       // ---- Leiden contraction: old two-slice shape vs diagonal fold, and
       // the full leiden_full query body, interleaved to cancel host drift
       "leiden_ab" -> (() => timed("leiden_ab") {
